@@ -1,0 +1,264 @@
+"""Template-matching detector: pyramid match orchestration.
+
+TPU re-design of the reference ``Detector`` (linemodLevelup.cpp:1663-2010):
+
+- ``match`` quantizes each modality once per pyramid level, spreads and
+  builds response maps (ops/spread.py), then scores EVERY template of a
+  class at every stride-T placement of the coarsest level with one dense
+  MXU correlation (ops/similarity.py) — the reference's per-template
+  serial loop (cpp:1797) becomes a batched conv.
+- Candidates are fixed-K top-k + threshold (cpp:1836-1852), locally
+  re-scored over a 16x16 placement window while marching down the pyramid
+  (cpp:1854-1938) with one grouped conv per level for all candidates.
+- Final dedupe is score-sorted box NMS (driver-side NMS in the reference,
+  linemod_and_levelup_test.py:34-61).
+
+Coordinates and scores follow the reference exactly: reported (x, y) is the
+placement times T plus the T/2 centering offset (cpp:1845-1847), and
+score = 100 * raw / (4 * nfeat) (cpp:1841).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sixdpose_tpu.config import DetectorConfig
+from sixdpose_tpu.models.templates import TemplateBank
+from sixdpose_tpu.ops import quantize as Q
+from sixdpose_tpu.ops.spread import spread_orientations, compute_response_maps
+from sixdpose_tpu.ops.similarity import similarity_dense, similarity_local, score_normalize
+from sixdpose_tpu.ops.topk_nms import topk_candidates, nms_boxes
+
+
+@dataclasses.dataclass
+class Match:
+    """A detection (reference Match struct, linemodLevelup.h:225-253)."""
+
+    x: int
+    y: int
+    similarity: float
+    class_id: str
+    template_id: int
+
+
+def _offset(t: int) -> int:
+    """Reported-coordinate centering: T/2 + (T%2 - 1)  (cpp:1845)."""
+    return t // 2 + (t % 2 - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("t_at_level", "threshold", "top_k"))
+def _match_class(
+    response_pyramid: Tuple[jnp.ndarray, ...],
+    kernels: Tuple[jnp.ndarray, ...],
+    nfeats: Tuple[jnp.ndarray, ...],
+    whs: Tuple[jnp.ndarray, ...],
+    t_at_level: Tuple[int, ...],
+    threshold: float,
+    top_k: int,
+):
+    """Score one class against a response pyramid.
+
+    Args:
+      response_pyramid: per level, (C, H_l, W_l) uint8 response maps
+        (level 0 = finest).
+      kernels / nfeats / whs: per level dense bank arrays.
+      t_at_level: stride per level.
+      threshold: similarity threshold in [0, 100].
+      top_k: candidate budget.
+
+    Returns (tid, x, y, score) arrays of shape (top_k,), reference-style
+    pixel coordinates at level 0; score < 0 marks invalid slots.
+    """
+    levels = len(t_at_level)
+    coarse = levels - 1
+    t_c = t_at_level[coarse]
+
+    # --- dense scoring at the coarsest level (cpp:1820-1852) ---
+    raw = similarity_dense(response_pyramid[coarse], kernels[coarse], t_c)
+    scores = score_normalize(raw, nfeats[coarse])
+    tid, yi, xi, score = topk_candidates(scores, threshold, top_k)
+    x = xi * t_c + _offset(t_c)
+    y = yi * t_c + _offset(t_c)
+
+    # --- local refinement marching down the pyramid (cpp:1854-1938) ---
+    for l in range(levels - 2, -1, -1):
+        t = t_at_level[l]
+        border = 8 * t
+        h_l, w_l = response_pyramid[l].shape[1:]
+        wh_l = whs[l][tid]
+        x = x * 2 + 1
+        y = y * 2 + 1
+        x = jnp.maximum(x, border)
+        y = jnp.maximum(y, border)
+        x = jnp.minimum(x, w_l - wh_l[:, 0] - border)
+        y = jnp.minimum(y, h_l - wh_l[:, 1] - border)
+
+        og_x = jnp.maximum(x // t - 8, 0)
+        og_y = jnp.maximum(y // t - 8, 0)
+        origins = jnp.stack([og_y * t, og_x * t], axis=1)
+
+        kern_sel = kernels[l][tid]
+        raw_local = similarity_local(response_pyramid[l], kern_sel, origins, t)
+        local_scores = score_normalize(raw_local, nfeats[l][tid])
+        flat = local_scores.reshape(local_scores.shape[0], -1)
+        best = jnp.argmax(flat, axis=1)  # first max wins, like cpp:1913-1926
+        best_r = best // 16
+        best_c = best % 16
+        new_score = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+        x = (og_x + best_c) * t + _offset(t)
+        y = (og_y + best_r) * t + _offset(t)
+        score = jnp.where(score >= 0, new_score, -1.0)
+        score = jnp.where(score > threshold, score, -1.0)  # cpp:1934-1937
+
+    return tid, x, y, score
+
+
+class Detector:
+    """Multi-modality multi-level template matcher.
+
+    Equivalent surface to the reference pybind ``Detector``
+    (linemodLevelup/pybind11.cpp:7-35): add_template, match, read/write
+    (npz-based), num_templates, class_ids.
+    """
+
+    def __init__(self, cfg: Optional[DetectorConfig] = None):
+        self.cfg = cfg or DetectorConfig()
+        self.bank = TemplateBank(self.cfg)
+
+    # -- training -----------------------------------------------------------
+
+    def add_template(
+        self,
+        class_id: str,
+        rgb: np.ndarray,
+        depth: Optional[np.ndarray],
+        mask: np.ndarray,
+        info: Optional[dict] = None,
+    ) -> int:
+        return self.bank.add_template(class_id, rgb, depth, mask, info)
+
+    # -- inference ----------------------------------------------------------
+
+    def build_response_pyramid(
+        self, rgb: Optional[np.ndarray], depth: Optional[np.ndarray]
+    ) -> List[jnp.ndarray]:
+        """Quantize -> spread -> response maps per level (cpp:1726-1752).
+
+        Returns per-level (C, H_l, W_l) uint8 arrays, C = 8 * modalities.
+        """
+        cfg = self.cfg
+        levels = cfg.pyramid_levels
+        per_level_channels: List[List[jnp.ndarray]] = [[] for _ in range(levels)]
+
+        if cfg.use_color:
+            assert rgb is not None
+            cur = jnp.asarray(rgb)
+            for l in range(levels):
+                if l > 0:
+                    cur = Q.pyr_down_rgb(cur)
+                q, _ = Q.quantize_color_gradient(cur, cfg.color.weak_threshold)
+                per_level_channels[l].append(q)
+        if cfg.use_depth:
+            assert depth is not None
+            qs = Q.depth_normal_pyramid(
+                jnp.asarray(depth),
+                levels,
+                cfg.depth.distance_threshold,
+                cfg.depth.difference_threshold,
+                cfg.depth.focal,
+            )
+            for l in range(levels):
+                per_level_channels[l].append(qs[l])
+
+        pyramid = []
+        for l in range(levels):
+            t = cfg.t_at_level[l]
+            maps = []
+            for q in per_level_channels[l]:
+                s = spread_orientations(q, t)
+                maps.append(compute_response_maps(s, cfg.response_lut))
+            pyramid.append(jnp.concatenate(maps, axis=0))
+        return pyramid
+
+    def match(
+        self,
+        rgb: Optional[np.ndarray],
+        depth: Optional[np.ndarray],
+        threshold: float,
+        class_ids: Optional[Sequence[str]] = None,
+        apply_nms: bool = True,
+    ) -> List[Match]:
+        """Detect all templates above ``threshold`` similarity.
+
+        Reference: Detector::match (cpp:1702-1777) + driver NMS.
+        """
+        pyramid = tuple(self.build_response_pyramid(rgb, depth))
+        cids = list(class_ids) if class_ids else self.bank.class_ids()
+        out: List[Match] = []
+        for cid in cids:
+            if self.bank.num_templates(cid) == 0:
+                continue
+            bl = self.bank.finalized(cid)
+            kernels = tuple(jnp.asarray(b.kernels) for b in bl)
+            nfeats = tuple(jnp.asarray(b.nfeat) for b in bl)
+            whs = tuple(jnp.asarray(b.wh) for b in bl)
+            tid, x, y, score = _match_class(
+                pyramid,
+                kernels,
+                nfeats,
+                whs,
+                tuple(self.cfg.t_at_level),
+                float(threshold),
+                self.cfg.top_k,
+            )
+            if apply_nms:
+                order = jnp.argsort(-score)
+                tid, x, y, score = tid[order], x[order], y[order], score[order]
+                wh0 = whs[0][tid]
+                boxes = jnp.stack(
+                    [x, y, wh0[:, 0], wh0[:, 1]], axis=1
+                ).astype(jnp.float32)
+                keep = nms_boxes(boxes, score, self.cfg.nms_iou)
+            else:
+                keep = score >= 0
+            tid_np = np.asarray(tid)
+            x_np = np.asarray(x)
+            y_np = np.asarray(y)
+            s_np = np.asarray(score)
+            k_np = np.asarray(keep)
+            for i in range(len(s_np)):
+                if k_np[i] and s_np[i] >= 0:
+                    out.append(
+                        Match(
+                            x=int(x_np[i]),
+                            y=int(y_np[i]),
+                            similarity=float(s_np[i]),
+                            class_id=cid,
+                            template_id=int(tid_np[i]),
+                        )
+                    )
+        out.sort(key=lambda m: -m.similarity)
+        return out
+
+    # -- persistence (reference read/writeClasses, cpp:2013-2146) ------------
+
+    def write_classes(self, path: str) -> None:
+        self.bank.save(path)
+
+    @classmethod
+    def read_classes(cls, path: str, cfg: Optional[DetectorConfig] = None) -> "Detector":
+        det = cls(cfg)
+        det.bank = TemplateBank.load(path, det.cfg)
+        return det
+
+    def num_templates(self, class_id: Optional[str] = None) -> int:
+        return self.bank.num_templates(class_id)
+
+    def class_ids(self) -> List[str]:
+        return self.bank.class_ids()

@@ -1,0 +1,349 @@
+"""Batched point-to-plane ICP pose refinement.
+
+Reference: ``poseRefine::process`` (linemodLevelup.cpp:27-170) — backprojects
+the rendered model depth and a scene-depth crop to point clouds, seeds the
+pose with a centroid shift, voxel-downsamples, and runs Open3D point-to-plane
+``RegistrationICP`` (threshold 0.01 m), returning the refined R, t (mm) and
+the ICP fitness as ``residual``.
+
+TPU re-design (no KD-trees, fixed shapes, batched over candidates):
+
+- Model cloud: fixed-size sample of backprojected render pixels (masked,
+  padded) instead of voxel downsampling.
+- Correspondences by *projective data association*: transformed model
+  points are projected with the scene intrinsics and matched to the scene
+  point at that pixel — the image-space analog of the reference's cropped
+  clouds, and O(N) with no tree.
+- Scene normals from depth-image derivatives (replaces Open3D
+  ``EstimateNormals``).
+- Gauss-Newton on se(3): rows a = [p x n, n], b = -n.(p - q); the 6x6
+  normal equations are built with einsum and solved in one
+  ``jnp.linalg.solve``; vmap over K candidates solves all systems at once.
+- Fixed iteration count under ``lax.fori_loop`` (static shapes under jit).
+
+Conventions match the reference: depths in mm, poses R (3,3) + t (3,1) mm,
+``fitness`` = inlier fraction of valid model points.  Note: the reference
+accidentally downsamples the *model* cloud for both sides
+(scene_pcd_down = model_pcd->VoxelDownSample, cpp:108-109); per SURVEY.md §2
+item 13 this implementation uses the actual scene points.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sixdpose_tpu.config import IcpConfig
+
+
+def backproject(depth_mm: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) uint16 depth in mm -> (H, W, 3) float32 points in meters."""
+    h, w = depth_mm.shape
+    z = depth_mm.astype(jnp.float32) / 1000.0
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = (u - K[0, 2]) / K[0, 0] * z
+    y = (v - K[1, 2]) / K[1, 1] * z
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def scene_normals(points: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel normals from central differences of the point map.
+
+    Replaces Open3D EstimateNormals (cpp:127); oriented toward the camera
+    (n_z < 0), zero where the neighborhood is invalid.
+    """
+    dzdx = (jnp.roll(points, -1, axis=1) - jnp.roll(points, 1, axis=1)) * 0.5
+    dzdy = (jnp.roll(points, -1, axis=0) - jnp.roll(points, 1, axis=0)) * 0.5
+    n = jnp.cross(dzdx, dzdy)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(norm, 1e-12)
+    # orient toward camera
+    flip = jnp.sign(-n[..., 2:3] + 1e-12)
+    n = n * flip
+    valid = (points[..., 2:3] > 0) & (norm > 1e-9)
+    return jnp.where(valid, n, 0.0)
+
+
+def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: (3,) axis-angle -> (3, 3) rotation."""
+    theta = jnp.linalg.norm(w) + 1e-12
+    k = w / theta
+    kx = jnp.array(
+        [[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]]
+    )
+    return (
+        jnp.eye(3)
+        + jnp.sin(theta) * kx
+        + (1.0 - jnp.cos(theta)) * (kx @ kx)
+    )
+
+
+def sample_model_points(
+    model_depth_mm: np.ndarray, model_K: np.ndarray, num_points: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side fixed-size sample of the rendered model cloud (meters).
+
+    Returns (num_points, 3) points and (num_points,) validity mask (padded
+    slots invalid).  Deterministic stride sampling over valid pixels.
+    """
+    ys, xs = np.nonzero(model_depth_mm > 0)
+    n = len(ys)
+    if n == 0:
+        return np.zeros((num_points, 3), np.float32), np.zeros(num_points, bool)
+    if n > num_points:
+        sel = np.linspace(0, n - 1, num_points).astype(np.int64)
+        ys, xs = ys[sel], xs[sel]
+    z = model_depth_mm[ys, xs].astype(np.float64) / 1000.0
+    x = (xs - model_K[0, 2]) / model_K[0, 0] * z
+    y = (ys - model_K[1, 2]) / model_K[1, 1] * z
+    pts = np.stack([x, y, z], 1).astype(np.float32)
+    valid = np.ones(len(pts), bool)
+    if len(pts) < num_points:
+        pad = num_points - len(pts)
+        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+    return pts, valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def icp_point_to_plane(
+    model_pts: jnp.ndarray,
+    model_valid: jnp.ndarray,
+    scene_pts: jnp.ndarray,
+    scene_nrm: jnp.ndarray,
+    scene_K: jnp.ndarray,
+    init_T: jnp.ndarray,
+    corr_dist: float = 0.01,
+    max_iters: int = 20,
+):
+    """Projective point-to-plane ICP for one candidate.
+
+    Args:
+      model_pts: (N, 3) model points (meters, render-camera frame).
+      model_valid: (N,) bool.
+      scene_pts: (H, W, 3) scene point map (meters).
+      scene_nrm: (H, W, 3) scene normal map.
+      scene_K: (3, 3) scene intrinsics.
+      init_T: (4, 4) initial model->scene transform.
+      corr_dist: correspondence gate in meters (reference threshold, cpp:31).
+      max_iters: Gauss-Newton iterations.
+
+    Returns (T, fitness, inlier_rmse).
+    """
+    h, w = scene_pts.shape[:2]
+
+    def lookup(p):
+        """Project points, gather scene point/normal at that pixel."""
+        u = p[:, 0] / p[:, 2] * scene_K[0, 0] + scene_K[0, 2]
+        v = p[:, 1] / p[:, 2] * scene_K[1, 1] + scene_K[1, 2]
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
+        inb = (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1) & (p[:, 2] > 1e-6)
+        q = scene_pts[vi, ui]
+        n = scene_nrm[vi, ui]
+        return q, n, inb
+
+    def step(_, T):
+        p = model_pts @ T[:3, :3].T + T[:3, 3]
+        q, n, inb = lookup(p)
+        d = p - q
+        r = jnp.sum(d * n, axis=-1)
+        good = (
+            model_valid
+            & inb
+            & (q[:, 2] > 0)
+            & (jnp.linalg.norm(d, axis=-1) < corr_dist)
+            & (jnp.linalg.norm(n, axis=-1) > 0.5)
+        )
+        wgt = good.astype(jnp.float32)
+        a = jnp.concatenate([jnp.cross(p, n), n], axis=-1)  # (N, 6)
+        H = jnp.einsum("ni,nj,n->ij", a, a, wgt)
+        g = jnp.einsum("ni,n,n->i", a, -r, wgt)
+        H = H + 1e-6 * jnp.eye(6)
+        xi = jnp.linalg.solve(H, g)
+        dR = _so3_exp(xi[:3])
+        dT = jnp.eye(4).at[:3, :3].set(dR).at[:3, 3].set(xi[3:])
+        return jnp.where(jnp.sum(wgt) >= 6, dT @ T, T)
+
+    T = jax.lax.fori_loop(0, max_iters, step, init_T)
+
+    # Final fitness / rmse (reference residual = fitness, cpp:148).
+    p = model_pts @ T[:3, :3].T + T[:3, 3]
+    q, n, inb = lookup(p)
+    d = p - q
+    dist = jnp.linalg.norm(d, axis=-1)
+    good = model_valid & inb & (q[:, 2] > 0) & (dist < corr_dist)
+    denom = jnp.maximum(jnp.sum(model_valid), 1)
+    fitness = jnp.sum(good) / denom
+    rmse = jnp.sqrt(
+        jnp.sum(jnp.where(good, dist**2, 0.0)) / jnp.maximum(jnp.sum(good), 1)
+    )
+    return T, fitness, rmse
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def icp_batch(
+    model_pts: jnp.ndarray,      # (K, N, 3)
+    model_valid: jnp.ndarray,    # (K, N)
+    scene_pts: jnp.ndarray,      # (H, W, 3) shared scene
+    scene_nrm: jnp.ndarray,
+    scene_K: jnp.ndarray,
+    init_T: jnp.ndarray,         # (K, 4, 4)
+    corr_dist: float = 0.01,
+    max_iters: int = 20,
+):
+    """All K candidates refined in parallel (reference refines top-K matches
+    serially, linemod_and_levelup_test.py:354-376)."""
+    fn = lambda mp, mv, t0: icp_point_to_plane(
+        mp, mv, scene_pts, scene_nrm, scene_K, t0, corr_dist, max_iters
+    )
+    return jax.vmap(fn)(model_pts, model_valid, init_T)
+
+
+class PoseRefiner:
+    """Drop-in equivalent of the reference ``poseRefine`` pybind class
+    (linemodLevelup/pybind11.cpp:29-34): process(...), getR, getT,
+    getResidual."""
+
+    def __init__(self, cfg: Optional[IcpConfig] = None):
+        self.cfg = cfg or IcpConfig()
+        self.R_refined: Optional[np.ndarray] = None
+        self.t_refined: Optional[np.ndarray] = None
+        self.residual: float = -1.0
+
+    def process(
+        self,
+        scene_depth: np.ndarray,
+        model_depth: np.ndarray,
+        scene_K: np.ndarray,
+        model_K: np.ndarray,
+        model_R: np.ndarray,
+        model_t: np.ndarray,
+        detect_x: int,
+        detect_y: int,
+    ) -> None:
+        """Refine one detection.  Mirrors poseRefine::process (cpp:27-160):
+        the model cloud comes from the render at the *render* position; the
+        initial guess shifts it to the detected (x, y) via the centroid
+        offset between the model cloud and the scene crop."""
+        cfg = self.cfg
+        h, w = scene_depth.shape
+        ys, xs = np.nonzero(model_depth > 0)
+        if len(ys) == 0:
+            self.residual = -1.0
+            return
+        bx0, bx1 = xs.min() - cfg.dilate_px, xs.max() + cfg.dilate_px + 1
+        by0, by1 = ys.min() - cfg.dilate_px, ys.max() + cfg.dilate_px + 1
+        bw, bh = bx1 - bx0, by1 - by0
+        if detect_x + bw >= w or detect_y + bh >= h:  # cpp:52-55
+            self.residual = -1.0
+            return
+
+        model_pts, model_valid = sample_model_points(
+            model_depth, model_K, cfg.num_model_points
+        )
+
+        # Initial guess: centroid(scene crop near anchor depth) - centroid(model)
+        # (cpp:60-104).  The scene crop is the model bbox translated to the
+        # detected position.
+        anchor = model_depth[model_depth.shape[0] // 2, model_depth.shape[1] // 2] / 1000.0
+        crop = np.zeros((bh, bw), np.float64)
+        sy0 = max(detect_y - cfg.dilate_px, 0)
+        sx0 = max(detect_x - cfg.dilate_px, 0)
+        sy1 = min(sy0 + bh, h)
+        sx1 = min(sx0 + bw, w)
+        crop[: sy1 - sy0, : sx1 - sx0] = scene_depth[sy0:sy1, sx0:sx1] / 1000.0
+        mmask = np.zeros((bh, bw), bool)
+        myx = (ys - by0, xs - bx0)
+        mmask[myx] = True
+        sel = mmask & (np.abs(crop - anchor) < cfg.anchor_window) & (crop > 0)
+        if sel.sum() < 10:
+            self.residual = -1.0
+            return
+        cy, cx = np.nonzero(sel)
+        z = crop[cy, cx]
+        px = ((cx + sx0) - scene_K[0, 2]) / scene_K[0, 0] * z
+        py = ((cy + sy0) - scene_K[1, 2]) / scene_K[1, 1] * z
+        center_scene = np.stack([px, py, z], 1).mean(0)
+        center_model = model_pts[model_valid].mean(0)
+
+        init_T = np.eye(4, dtype=np.float32)
+        init_T[:3, 3] = center_scene - center_model
+
+        sp = backproject(jnp.asarray(scene_depth), jnp.asarray(scene_K.astype(np.float32)))
+        sn = scene_normals(sp)
+        T, fitness, rmse = icp_point_to_plane(
+            jnp.asarray(model_pts),
+            jnp.asarray(model_valid),
+            sp,
+            sn,
+            jnp.asarray(scene_K.astype(np.float32)),
+            jnp.asarray(init_T),
+            cfg.corr_dist,
+            cfg.max_iters,
+        )
+        T = np.asarray(T, np.float64)
+
+        # Compose with the template pose (cpp:34-41, 146-154): template t_z is
+        # in mm -> meters; output t back in mm.
+        init_base = np.eye(4)
+        init_base[:3, :3] = model_R
+        init_base[:3, 3] = np.asarray(model_t).flatten()
+        init_base[2, 3] /= 1000.0
+        result = T @ init_base
+        self.R_refined = result[:3, :3]
+        self.t_refined = result[:3, 3:4] * 1000.0
+        self.residual = float(fitness)
+
+    def getR(self) -> np.ndarray:
+        return self.R_refined
+
+    def getT(self) -> np.ndarray:
+        return self.t_refined
+
+    def getResidual(self) -> float:
+        return self.residual
+
+
+def refine_poses(
+    scene_depth: np.ndarray,
+    scene_K: np.ndarray,
+    model_depths: np.ndarray,
+    model_K: np.ndarray,
+    init_Ts: np.ndarray,
+    cfg: Optional[IcpConfig] = None,
+):
+    """Batched refinement of K candidates against one scene.
+
+    Args:
+      scene_depth: (H, W) uint16 mm.
+      model_depths: (K, Hm, Wm) rendered depths, one per candidate.
+      init_Ts: (K, 4, 4) initial model->scene transforms (meters).
+
+    Returns (K, 4, 4) refined transforms, (K,) fitness, (K,) rmse.
+    """
+    cfg = cfg or IcpConfig()
+    k = model_depths.shape[0]
+    pts = np.zeros((k, cfg.num_model_points, 3), np.float32)
+    val = np.zeros((k, cfg.num_model_points), bool)
+    for i in range(k):
+        pts[i], val[i] = sample_model_points(
+            model_depths[i], model_K, cfg.num_model_points
+        )
+    sp = backproject(jnp.asarray(scene_depth), jnp.asarray(scene_K.astype(np.float32)))
+    sn = scene_normals(sp)
+    return icp_batch(
+        jnp.asarray(pts),
+        jnp.asarray(val),
+        sp,
+        sn,
+        jnp.asarray(scene_K.astype(np.float32)),
+        jnp.asarray(init_Ts.astype(np.float32)),
+        cfg.corr_dist,
+        cfg.max_iters,
+    )

@@ -1,0 +1,189 @@
+"""Dense template similarity as strided MXU correlation.
+
+The reference accumulates, for every template placement on a stride-T grid,
+the response-map value under each template feature, using "linearized
+memories" + SSE adds (linemodLevelup.cpp:1215-1243, 1284-1354).  That trick
+exists to make a sparse gather-sum cache-friendly on CPU.
+
+On TPU the same sum is a correlation: encode each template as a dense
+one-hot kernel K[c, ky, kx] (c = orientation channel, 1 where the template
+has a feature of that orientation at that offset), stack the 8 response
+maps per modality into channels, and compute
+
+    raw[n, y, x] = sum_c sum_ky sum_kx  R[c, y*T + ky, x*T + kx] * K[n, c, ky, kx]
+
+with one ``lax.conv_general_dilated`` over ALL templates at once — an
+im2col matmul on the MXU.  Responses are small ints (0..4) and kernels are
+0/1, so bf16 inputs with float32 accumulation are exact (max raw score
+4 * 8191 << 2^24).
+
+This subsumes both reference accumulation paths: the 8-bit <=63-feature
+path (cpp:1450-1534) and the 16-bit <=8191-feature "levelup" path
+(cpp:1284-1354) are just one f32-accumulating conv here, so there is no
+63-feature ceiling and no dispatch (cpp:1808-1832).
+
+Score normalization matches cpp:1841: score = 100 * raw / (4 * nfeat).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_template_kernels(
+    features: np.ndarray,
+    valid: np.ndarray,
+    kh: int,
+    kw: int,
+    num_channels: int,
+) -> np.ndarray:
+    """Densify per-template feature lists into conv kernels.
+
+    Args:
+      features: (N, F, 3) int array of (x, y, channel) per feature, where
+        channel = modality * 8 + orientation_label.
+      valid: (N, F) bool mask (templates have ragged feature counts).
+      kh, kw: kernel extent (max template bbox + 1 at this level).
+      num_channels: 8 * num_modalities.
+
+    Returns:
+      (N, num_channels, kh, kw) int8 one-hot kernel stack.
+    """
+    n, f, _ = features.shape
+    kern = np.zeros((n, num_channels, kh, kw), dtype=np.int8)
+    xs = features[..., 0]
+    ys = features[..., 1]
+    cs = features[..., 2]
+    tid = np.broadcast_to(np.arange(n)[:, None], (n, f))
+    m = valid & (xs >= 0) & (xs < kw) & (ys >= 0) & (ys < kh)
+    kern[tid[m], cs[m], ys[m], xs[m]] = 1
+    return kern
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _s2d_maps(response_maps: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Space-to-depth: (C, H, W) -> (C*t*t, H/t, W/t), padding H, W up to
+    multiples of t.  Channel order: c * t*t + dy * t + dx."""
+    c, h, w = response_maps.shape
+    hp, wp = _ceil_to(h, t), _ceil_to(w, t)
+    r = jnp.pad(response_maps, ((0, 0), (0, hp - h), (0, wp - w)))
+    r = r.reshape(c, hp // t, t, wp // t, t)
+    r = r.transpose(0, 2, 4, 1, 3)
+    return r.reshape(c * t * t, hp // t, wp // t)
+
+
+def _s2d_kernels(kernels: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Space-to-depth for kernels: (N, C, KH, KW) -> (N, C*t*t, KH/t, KW/t),
+    matching the channel order of ``_s2d_maps``."""
+    n, c, kh, kw = kernels.shape
+    khp, kwp = _ceil_to(kh, t), _ceil_to(kw, t)
+    k = jnp.pad(kernels, ((0, 0), (0, 0), (0, khp - kh), (0, kwp - kw)))
+    k = k.reshape(n, c, khp // t, t, kwp // t, t)
+    k = k.transpose(0, 1, 3, 5, 2, 4)
+    return k.reshape(n, c * t * t, khp // t, kwp // t)
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def similarity_dense(
+    response_maps: jnp.ndarray, kernels: jnp.ndarray, t: int
+) -> jnp.ndarray:
+    """Raw similarity of every template at every stride-T placement.
+
+    Implementation: since every placement is a multiple of T, the stride-T
+    correlation factors exactly through space-to-depth — a stride-1 conv
+    over T^2-x more channels with a T-x smaller spatial kernel.  This keeps
+    the contraction identical but gives XLA a small-window conv it maps
+    cleanly onto the MXU (and compiles ~50x faster on CPU than the naive
+    large-kernel strided conv).
+
+    Args:
+      response_maps: (C, H, W) uint8 response maps (C = 8 * num_modalities).
+      kernels: (N, C, KH, KW) int8 one-hot template kernels.
+      t: sampling stride T at this pyramid level.
+
+    Returns:
+      (N, H_out, W_out) float32 raw scores with H_out = H//t - ceil(KH/t) + 1;
+      placement (y, x) is the template origin at pixel (y*t, x*t).
+    """
+    lhs = _s2d_maps(response_maps, t)[None].astype(jnp.bfloat16)
+    rhs = _s2d_kernels(kernels, t).astype(jnp.bfloat16)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("t", "window"))
+def similarity_local(
+    response_maps: jnp.ndarray,
+    kernels_sel: jnp.ndarray,
+    origins: jnp.ndarray,
+    t: int,
+    window: int = 16,
+) -> jnp.ndarray:
+    """Local similarity of one template per candidate over a small window.
+
+    TPU analog of ``similarityLocal`` (cpp:1366-1428): the reference
+    re-scores each surviving candidate over a 16x16 block of stride-T
+    placements at the next-finer pyramid level.  Here all K candidates are
+    scored with a single grouped space-to-depth convolution: candidate k's
+    patch goes into channel group k, its template kernel is group k's
+    filter, and ``feature_group_count=K`` yields exactly the diagonal
+    (patch_k * kernel_k).
+
+    Args:
+      response_maps: (C, H, W) uint8 response maps at this level.
+      kernels_sel: (K, C, KH, KW) int8, the kernel of each candidate's
+        template (pre-gathered from the bank).
+      origins: (K, 2) int32 (y, x) pixel coords of each window's top-left
+        placement; MUST be multiples of t.  Scores cover placements
+        origin + (i*t, j*t).
+      t: stride at this level.
+      window: placements per side (reference uses 16).
+
+    Returns:
+      (K, window, window) float32 raw scores.
+    """
+    k = kernels_sel.shape[0]
+    rhs = _s2d_kernels(kernels_sel, t).astype(jnp.bfloat16)  # (K, C*t*t, kh, kw)
+    ct2, kh, kw = rhs.shape[1:]
+    maps = _s2d_maps(response_maps, t)                        # (C*t*t, Hb, Wb)
+    hp = window - 1 + kh
+    wp = window - 1 + kw
+    pads = jnp.pad(maps, ((0, 0), (0, hp), (0, wp)))
+
+    def slice_one(origin):
+        return jax.lax.dynamic_slice(
+            pads, (0, origin[0] // t, origin[1] // t), (ct2, hp, wp)
+        )
+
+    patches = jax.vmap(slice_one)(origins)                    # (K, C*t*t, hp, wp)
+    lhs = patches.reshape(1, k * ct2, hp, wp).astype(jnp.bfloat16)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=k,
+        preferred_element_type=jnp.float32,
+    )
+    return out[0]
+
+
+def score_normalize(raw: jnp.ndarray, nfeat: jnp.ndarray) -> jnp.ndarray:
+    """Similarity percentage: 100 * raw / (4 * nfeat)  (cpp:1841)."""
+    denom = jnp.maximum(4.0 * nfeat.astype(jnp.float32), 1.0)
+    return raw * (100.0 / denom.reshape(denom.shape + (1,) * (raw.ndim - denom.ndim)))

@@ -1,0 +1,36 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+Real TPU tests are exercised by bench.py / the driver; unit tests simulate
+multi-chip sharding on host CPU (SURVEY.md §4: CPU-simulated multi-device
+tests stand in for pod-slice tests).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(),
+    reason="reference fixture tree not mounted",
+)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,119 @@
+"""Quantization kernels vs independent OpenCV-composed oracles.
+
+The oracle re-creates the reference pipeline (linemodLevelup.cpp:350-505,
+729-819) from OpenCV primitives — an independent check that our JAX ops
+reproduce the behavioral spec, not a copy of either implementation.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+cv2 = pytest.importorskip("cv2")
+
+from sixdpose_tpu.ops import quantize as Q
+
+
+def _oracle_color_gradient(rgb, weak_threshold):
+    sm = cv2.GaussianBlur(rgb, (7, 7), 0, 0, borderType=cv2.BORDER_REPLICATE)
+    dx = cv2.Sobel(sm, cv2.CV_16S, 1, 0, ksize=3, borderType=cv2.BORDER_REPLICATE)
+    dy = cv2.Sobel(sm, cv2.CV_16S, 0, 1, ksize=3, borderType=cv2.BORDER_REPLICATE)
+    if dx.ndim == 2:
+        dx, dy = dx[..., None], dy[..., None]
+    mag = dx.astype(np.int64) ** 2 + dy.astype(np.int64) ** 2
+    ch = np.argmax(mag, -1)
+    take = lambda a: np.take_along_axis(a, ch[..., None], -1)[..., 0]
+    bdx = take(dx).astype(np.float32)
+    bdy = take(dy).astype(np.float32)
+    bmag = take(mag).astype(np.float32)
+    ang = cv2.phase(bdx, bdy, angleInDegrees=True)
+    q16 = np.clip(np.round(ang * 16 / 360), 0, 255).astype(np.uint8)
+    q16[0, :] = 0
+    q16[-1, :] = 0
+    q16[:, 0] = 0
+    q16[:, -1] = 0
+    q8 = q16 & 7
+    h, w = q8.shape
+    oh = np.eye(8, dtype=np.int32)[q8]
+    ph = np.pad(oh, ((1, 1), (1, 1), (0, 0)))
+    votes = sum(
+        ph[1 + a : h + 1 + a, 1 + b : w + 1 + b]
+        for a in (-1, 0, 1)
+        for b in (-1, 0, 1)
+    )
+    top = votes.argmax(-1)
+    tv = votes.max(-1)
+    interior = np.zeros((h, w), bool)
+    interior[1:-1, 1:-1] = True
+    return np.where(
+        (bmag > weak_threshold**2) & (tv >= 5) & interior,
+        (1 << top).astype(np.uint8),
+        0,
+    )
+
+
+def test_color_gradient_matches_opencv_oracle(rng):
+    rgb = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    # Smooth it a bit so gradients are not pure noise.
+    rgb = cv2.GaussianBlur(rgb, (5, 5), 2)
+    oracle = _oracle_color_gradient(rgb, 10.0)
+    mine, _ = Q.quantize_color_gradient(jnp.asarray(rgb), 10.0)
+    mine = np.asarray(mine)
+    agree = (mine == oracle).mean()
+    # atan2 vs cv2.phase differ in the last ulp near bin boundaries.
+    assert agree > 0.99
+
+
+def test_color_gradient_structured_edge():
+    """A vertical step edge must quantize to the horizontal-gradient bin."""
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:, 16:] = 200
+    q, mag = Q.quantize_color_gradient(jnp.asarray(img), 10.0)
+    q = np.asarray(q)
+    edge = q[10:22, 14:18]
+    # Horizontal gradient = angle 0 = bin 0 = bit 1.
+    assert (edge[edge > 0] == 1).all()
+    assert (edge > 0).any()
+
+
+def test_depth_normal_plane_bins():
+    """Tilted planes quantize to the expected azimuth bins."""
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    # Plane tilted along +x: depth increases with x -> gradient (ddx>0),
+    # normal azimuth ~ 0 -> bit 1.
+    depth = (800 + 5 * xx).astype(np.uint16)
+    q = np.asarray(Q.quantize_depth_normal(jnp.asarray(depth)))
+    inner = q[16:48, 16:48]
+    vals, counts = np.unique(inner[inner > 0], return_counts=True)
+    assert vals[np.argmax(counts)] == 1
+
+    # Tilt along +y -> azimuth pi/2 -> bin 2 -> bit 4.
+    depth = (800 + 5 * yy).astype(np.uint16)
+    q = np.asarray(Q.quantize_depth_normal(jnp.asarray(depth)))
+    inner = q[16:48, 16:48]
+    vals, counts = np.unique(inner[inner > 0], return_counts=True)
+    assert vals[np.argmax(counts)] == 4
+
+
+def test_depth_normal_gates():
+    """Out-of-range depth and borders produce no orientation."""
+    depth = np.full((32, 32), 3000, np.uint16)  # beyond distance_threshold
+    q = np.asarray(Q.quantize_depth_normal(jnp.asarray(depth)))
+    assert (q == 0).all()
+
+
+def test_pyr_down_matches_opencv(rng):
+    img = rng.integers(0, 255, (64, 96, 3), np.uint8)
+    ours = np.asarray(Q.pyr_down_rgb(jnp.asarray(img)))
+    ref = cv2.pyrDown(img)
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    # Border rows differ by reflection handling; interior must be tight.
+    assert diff[2:-2, 2:-2].max() <= 1
+
+
+def test_median5x5(rng):
+    img = rng.integers(0, 255, (48, 48), np.uint8)
+    ours = np.asarray(Q.median5x5_u8(jnp.asarray(img)))
+    ref = cv2.medianBlur(img, 5)
+    assert (ours[2:-2, 2:-2] == ref[2:-2, 2:-2]).mean() > 0.999

@@ -1,0 +1,156 @@
+"""Spread, response maps, and dense similarity vs small golden tensors
+and a numpy re-implementation of the reference semantics."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from sixdpose_tpu.ops.spread import spread_orientations, compute_response_maps
+from sixdpose_tpu.ops.similarity import (
+    build_template_kernels,
+    similarity_dense,
+    similarity_local,
+    score_normalize,
+)
+
+
+def np_spread(q, t):
+    h, w = q.shape
+    p = np.pad(q, ((0, t), (0, t)))
+    out = np.zeros_like(q)
+    for r in range(t):
+        for c in range(t):
+            out |= p[r : r + h, c : c + w]
+    return out
+
+
+def np_response(spread_img, ori):
+    """Levelup LUT: exact bit -> 4, 45-degree neighbor -> 1, else 0
+    (linemodLevelup.cpp:1121)."""
+    exact = (spread_img & (1 << ori)) != 0
+    left = 1 << ((ori + 1) % 8)
+    right = 1 << ((ori - 1) % 8)
+    adj = (spread_img & (left | right)) != 0
+    return np.where(exact, 4, np.where(adj, 1, 0)).astype(np.uint8)
+
+
+def test_spread_golden():
+    q = np.zeros((8, 8), np.uint8)
+    q[2, 2] = 1  # bit 0
+    q[5, 6] = 8  # bit 3
+    s = np.asarray(spread_orientations(jnp.asarray(q), 3))
+    # spread[y, x] ORs src[y..y+2, x..x+2] -> the bit appears at all
+    # positions whose window covers the source pixel.
+    expect = np_spread(q, 3)
+    assert (s == expect).all()
+    assert s[0, 0] == 1
+    assert s[2, 2] == 1
+    assert s[3, 3] == 0 or (3, 3) > (2, 2)  # window anchored top-left
+    assert s[3, 4] == 8
+
+
+def test_spread_matches_numpy(rng):
+    q = (1 << rng.integers(0, 8, (32, 40))).astype(np.uint8)
+    q[rng.random((32, 40)) < 0.5] = 0
+    for t in (2, 4, 5, 8):
+        s = np.asarray(spread_orientations(jnp.asarray(q), t))
+        assert (s == np_spread(q, t)).all()
+
+
+def test_response_maps_levelup(rng):
+    s = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    rm = np.asarray(compute_response_maps(jnp.asarray(s), "levelup"))
+    for ori in range(8):
+        assert (rm[ori] == np_response(s, ori)).all()
+
+
+def test_response_maps_stock(rng):
+    s = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    rm = np.asarray(compute_response_maps(jnp.asarray(s), "stock"))
+    for ori in range(8):
+        # stock LUT: 4 - cyclic bit distance (floor 0), max over set bits.
+        expect = np.zeros_like(s, np.int32)
+        for b in range(8):
+            d = min((b - ori) % 8, (ori - b) % 8)
+            val = max(4 - d, 0)
+            expect = np.where((s & (1 << b)) != 0, np.maximum(expect, val), expect)
+        assert (rm[ori] == expect).all()
+
+
+def test_build_kernels():
+    feats = np.array([[[1, 2, 3], [0, 0, 0], [-1, -1, 0]]])
+    valid = np.array([[True, True, False]])
+    k = build_template_kernels(feats, valid, 4, 4, 8)
+    assert k.shape == (1, 8, 4, 4)
+    assert k[0, 3, 2, 1] == 1
+    assert k[0, 0, 0, 0] == 1
+    assert k.sum() == 2
+
+
+def test_similarity_dense_equals_manual(rng):
+    """Dense conv similarity == explicit per-feature gather-sum
+    (the reference's similarity(), linemodLevelup.cpp:1284-1354)."""
+    h, w, t = 40, 48, 4
+    rm = rng.integers(0, 5, (8, h, w)).astype(np.uint8)
+    n, f = 3, 10
+    feats = np.stack(
+        [
+            rng.integers(0, 12, (n, f)),
+            rng.integers(0, 12, (n, f)),
+            rng.integers(0, 8, (n, f)),
+        ],
+        axis=-1,
+    )
+    valid = np.ones((n, f), bool)
+    kern = build_template_kernels(feats, valid, 12, 12, 8)
+    raw = np.asarray(similarity_dense(jnp.asarray(rm), jnp.asarray(kern), t))
+
+    ho, wo = (h - 12) // t + 1, (w - 12) // t + 1
+    assert raw.shape == (n, ho, wo)
+    for ti in range(n):
+        for yi in range(ho):
+            for xi in range(wo):
+                s = sum(
+                    int(rm[c, yi * t + fy, xi * t + fx])
+                    for fx, fy, c in feats[ti]
+                )
+                assert raw[ti, yi, xi] == s
+
+
+def test_similarity_local_diagonal(rng):
+    """Grouped local conv scores candidate k with kernel k only."""
+    h, w, t = 64, 64, 4
+    rm = rng.integers(0, 5, (8, h, w)).astype(np.uint8)
+    k, f = 3, 5
+    feats = np.stack(
+        [
+            rng.integers(0, 8, (k, f)),
+            rng.integers(0, 8, (k, f)),
+            rng.integers(0, 8, (k, f)),
+        ],
+        axis=-1,
+    )
+    kern = build_template_kernels(feats, np.ones((k, f), bool), 8, 8, 8)
+    origins = np.array([[0, 0], [4, 8], [8, 4]], np.int32)
+    out = np.asarray(
+        similarity_local(jnp.asarray(rm), jnp.asarray(kern), jnp.asarray(origins), t)
+    )
+    assert out.shape == (k, 16, 16)
+    rm_pad = np.pad(rm, ((0, 0), (0, 15 * t + 8), (0, 15 * t + 8)))
+    for ki in range(k):
+        oy, ox = origins[ki]
+        for wy in range(16):
+            for wx in range(16):
+                s = sum(
+                    int(rm_pad[c, oy + wy * t + fy, ox + wx * t + fx])
+                    for fx, fy, c in feats[ki]
+                )
+                assert out[ki, wy, wx] == s
+
+
+def test_score_normalize():
+    raw = jnp.asarray(np.array([[[8.0]], [[16.0]]], np.float32))
+    nfeat = jnp.asarray(np.array([2, 4], np.int32))
+    s = np.asarray(score_normalize(raw, nfeat))
+    assert np.allclose(s[:, 0, 0], [100.0, 100.0])
