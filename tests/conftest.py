@@ -7,12 +7,18 @@ tests stand in for pod-slice tests).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# Select CPU via the config API: a plain JAX_PLATFORMS env var is not enough
+# here because the TPU-tunnel sitecustomize registers its backend at
+# interpreter start.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,111 @@
+"""Sharded matching on a virtual 8-device CPU mesh.
+
+Validates that the data x template sharded pipeline produces the same
+matches as the single-device fused pipeline (SURVEY.md §4: CPU-simulated
+multi-device tests stand in for pod-slice tests).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+jnp = jax.numpy
+
+from sixdpose_tpu.config import ColorGradientConfig, DetectorConfig
+from sixdpose_tpu.models.detector import Detector
+from sixdpose_tpu.parallel import make_mesh, pad_templates, sharded_detect
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rng = np.random.default_rng(7)
+    cfg = DetectorConfig(
+        t_at_level=(4, 8),
+        use_depth=False,
+        top_k=16,
+        color=ColorGradientConfig(num_features=16),
+    )
+    det = Detector(cfg)
+    scenes = []
+    for i in range(4):
+        obj = np.zeros((40, 40, 3), np.uint8)
+        yy, xx = np.mgrid[0:40, 0:40]
+        m = ((yy - 20) ** 2 + (xx - 20) ** 2) < 256
+        col = [(200, 80, 40), (40, 200, 80), (80, 40, 200), (200, 200, 40)][i]
+        obj[m] = col
+        obj[m & (xx > 20)] = (255 - col[0], 255 - col[1], col[2])
+        train = np.zeros((96, 128, 3), np.uint8)
+        train[28:68, 44:84] = obj
+        mask = np.zeros((96, 128), np.uint8)
+        mask[28:68, 44:84] = m.astype(np.uint8) * 255
+        assert det.add_template("objs", train, None, mask) == i
+        scene = np.zeros((96, 128, 3), np.uint8)
+        ox, oy = 16 + 8 * i, 40 - 6 * i
+        scene[oy : oy + 40, ox : ox + 40] = obj
+        scenes.append(scene)
+    return det, np.stack(scenes)
+
+
+def test_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_matches_single_device(trained):
+    det, scenes = trained
+    cfg = det.cfg
+    mesh = make_mesh(data=2, template=4)
+
+    kernels, nfeats, whs = det.device_bank("objs")
+    kernels = pad_templates(tuple(np.asarray(k) for k in kernels), 4)
+    nfeats_p = []
+    for nf in nfeats:
+        nf = np.asarray(nf)
+        pad = (-len(nf)) % 4
+        nfeats_p.append(np.concatenate([nf, np.ones(pad, nf.dtype)]))
+    nfeats = tuple(nfeats_p)
+    whs = pad_templates(tuple(np.asarray(w) for w in whs), 4)
+
+    tid, x, y, score, keep = sharded_detect(
+        mesh,
+        jnp.asarray(scenes),
+        None,
+        tuple(jnp.asarray(k) for k in kernels),
+        tuple(jnp.asarray(n) for n in nfeats),
+        tuple(jnp.asarray(w) for w in whs),
+        cfg,
+        60.0,
+    )
+    tid, x, y, score, keep = jax.device_get((tid, x, y, score, keep))
+
+    # Single-device result per scene.
+    for b in range(4):
+        ms = det.match(scenes[b], None, threshold=60.0)
+        assert ms, f"scene {b}: single-device found nothing"
+        top = ms[0]
+        kept = [
+            (int(tid[b, i]), int(x[b, i]), int(y[b, i]), float(score[b, i]))
+            for i in range(tid.shape[1])
+            if keep[b, i] and score[b, i] >= 0
+        ]
+        assert kept, f"scene {b}: sharded found nothing"
+        st, sx, sy, ss = max(kept, key=lambda c: c[3])
+        assert st == top.template_id
+        assert (sx, sy) == (top.x, top.y)
+        assert abs(ss - top.similarity) < 1e-3
+
+
+def test_sharded_batch_shapes(trained):
+    det, scenes = trained
+    mesh = make_mesh(data=2, template=2, tile=2)
+    kernels, nfeats, whs = det.device_bank("objs")
+    out = sharded_detect(
+        mesh,
+        jnp.asarray(scenes),
+        None,
+        kernels,
+        nfeats,
+        whs,
+        det.cfg,
+        60.0,
+    )
+    assert out[0].shape == (4, det.cfg.top_k)
