@@ -26,14 +26,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def subdivide_mesh(pts: np.ndarray, faces: np.ndarray, max_edge: float) -> Tuple[np.ndarray, np.ndarray]:
+def subdivide_mesh(
+    pts: np.ndarray,
+    faces: np.ndarray,
+    max_edge: float,
+    attrs: "Optional[np.ndarray]" = None,
+):
     """Split triangles until every edge is <= max_edge (model units).
 
     Host-side, once per asset.  Guarantees the rasterizer's fixed tile
     covers each projected triangle when max_edge * f / z_min <= tile_px.
+    ``attrs`` is an optional (V, A) per-vertex attribute array (e.g.
+    colors); midpoints average their endpoints.  Returns (pts, faces) or
+    (pts, faces, attrs).
     """
     pts = np.asarray(pts, np.float64)
     faces = np.asarray(faces, np.int64)
+    if attrs is not None:
+        attrs = np.asarray(attrs, np.float64)
     while True:
         p = pts[faces]  # (m, 3, 3)
         e = np.stack(
@@ -46,12 +56,15 @@ def subdivide_mesh(pts: np.ndarray, faces: np.ndarray, max_edge: float) -> Tuple
         )
         bad = e.max(1) > max_edge
         if not bad.any():
-            return pts, faces
+            return (pts, faces) if attrs is None else (pts, faces, attrs)
         keep = faces[~bad]
         split = faces[bad]
         mids = (pts[split[:, [0, 1, 2]]] + pts[split[:, [1, 2, 0]]]) / 2  # (m,3,3)
         base = len(pts)
         pts = np.concatenate([pts, mids.reshape(-1, 3)], 0)
+        if attrs is not None:
+            amids = (attrs[split[:, [0, 1, 2]]] + attrs[split[:, [1, 2, 0]]]) / 2
+            attrs = np.concatenate([attrs, amids.reshape(-1, attrs.shape[1])], 0)
         m01 = base + np.arange(len(split)) * 3 + 0
         m12 = base + np.arange(len(split)) * 3 + 1
         m20 = base + np.arange(len(split)) * 3 + 2
@@ -289,8 +302,47 @@ def render(
     Returns depth (H, W) float32 mm for mode='depth', (rgb, depth) for
     'rgb+depth', rgb for 'rgb'.
     """
-    pts = jnp.asarray(np.asarray(model["pts"], np.float32))
-    faces = jnp.asarray(np.asarray(model["faces"], np.int32))
+    pts_np = np.asarray(model["pts"], np.float64)
+    faces_np = np.asarray(model["faces"], np.int64)
+    colors_np = model.get("colors")
+    col_np = (
+        np.full((len(pts_np), 3), 127.0)
+        if colors_np is None
+        else np.asarray(colors_np, np.float64)
+    )
+
+    # Auto-subdivide so every projected triangle fits the raster tile.
+    # The subdivision level k is quantized to powers of two so the mesh
+    # shape (and hence the jit cache key) doesn't churn with pose depth;
+    # results are cached on the model dict.
+    cam_z = (
+        pts_np @ np.asarray(R, np.float64).T
+        + np.asarray(t, np.float64).reshape(1, 3)
+    )[:, 2]
+    z_min = max(float(cam_z.min()), float(clip_near))
+    Kn = np.asarray(K, np.float64)
+    ppm = max(Kn[0, 0], Kn[1, 1]) / z_min
+    tri = pts_np[faces_np]
+    edge_max = float(
+        max(
+            np.linalg.norm(tri[:, 0] - tri[:, 1], axis=1).max(),
+            np.linalg.norm(tri[:, 1] - tri[:, 2], axis=1).max(),
+            np.linalg.norm(tri[:, 2] - tri[:, 0], axis=1).max(),
+        )
+    ) if len(tri) else 0.0
+    max_edge_px = edge_max * ppm
+    budget = tile_px - 2
+    if max_edge_px > budget:
+        k = int(np.ceil(np.log2(max_edge_px / budget)))
+        cache = model.setdefault("_subdiv_cache", {})
+        if k not in cache:
+            cache[k] = subdivide_mesh(
+                pts_np, faces_np, max_edge=edge_max / (2**k), attrs=col_np
+            )
+        pts_np, faces_np, col_np = cache[k]
+
+    pts = jnp.asarray(pts_np.astype(np.float32))
+    faces = jnp.asarray(faces_np.astype(np.int32))
     Kj = jnp.asarray(np.asarray(K, np.float32))
     Rj = jnp.asarray(np.asarray(R, np.float32))
     tj = jnp.asarray(np.asarray(t, np.float32).flatten())
@@ -298,11 +350,7 @@ def render(
         return render_depth(
             pts, faces, Kj, Rj, tj, tuple(im_size), clip_near, clip_far, tile_px
         )
-    colors = model.get("colors")
-    if colors is None:
-        col = jnp.full((pts.shape[0], 3), 0.5, jnp.float32)
-    else:
-        col = jnp.asarray(np.asarray(colors, np.float32) / 255.0)
+    col = jnp.asarray((col_np / 255.0).astype(np.float32))
     rgb, depth = render_rgb_depth(
         pts, faces, col, Kj, Rj, tj, tuple(im_size), clip_near, clip_far, tile_px
     )

@@ -51,21 +51,58 @@ def backproject(depth_mm: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
-def scene_normals(points: jnp.ndarray) -> jnp.ndarray:
-    """Per-pixel normals from central differences of the point map.
+def scene_normals(points: jnp.ndarray, edge_thresh: float = 0.02) -> jnp.ndarray:
+    """Per-pixel normals from the smoothed point map.
 
-    Replaces Open3D EstimateNormals (cpp:127); oriented toward the camera
-    (n_z < 0), zero where the neighborhood is invalid.
+    Replaces Open3D EstimateNormals (cpp:127).  Two measures against
+    millimeter depth quantization and silhouettes (both of which otherwise
+    produce unit-length garbage normals that bias the ICP solve):
+
+    - a validity-masked 3x3 box smoothing of the point map followed by a
+      +-2 px central difference (widens the derivative baseline well past
+      the 1 mm uint16 quantization step);
+    - zero normals at depth discontinuities (any +-2 px neighbor jumping
+      more than ``edge_thresh`` meters in z).
+
+    Normals are unit length, oriented toward the camera (n_z < 0), and
+    zero where invalid.
     """
-    dzdx = (jnp.roll(points, -1, axis=1) - jnp.roll(points, 1, axis=1)) * 0.5
-    dzdy = (jnp.roll(points, -1, axis=0) - jnp.roll(points, 1, axis=0)) * 0.5
-    n = jnp.cross(dzdx, dzdy)
+    z = points[..., 2:3]
+    valid0 = (z > 0).astype(points.dtype)
+
+    # Masked 3x3 box filter.
+    pv = points * valid0
+    num = jnp.zeros_like(points)
+    den = jnp.zeros_like(valid0)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            num = num + jnp.roll(pv, (dy, dx), axis=(0, 1))
+            den = den + jnp.roll(valid0, (dy, dx), axis=(0, 1))
+    sm = num / jnp.maximum(den, 1.0)
+    sm = jnp.where(valid0 > 0, sm, 0.0)
+
+    r = 2
+    xp = jnp.roll(sm, -r, axis=1)
+    xm = jnp.roll(sm, r, axis=1)
+    yp = jnp.roll(sm, -r, axis=0)
+    ym = jnp.roll(sm, r, axis=0)
+    n = jnp.cross(xp - xm, yp - ym)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = n / jnp.maximum(norm, 1e-12)
-    # orient toward camera
     flip = jnp.sign(-n[..., 2:3] + 1e-12)
     n = n * flip
-    valid = (points[..., 2:3] > 0) & (norm > 1e-9)
+
+    neigh_ok = (
+        (jnp.abs(xp[..., 2:3] - z) < edge_thresh)
+        & (jnp.abs(xm[..., 2:3] - z) < edge_thresh)
+        & (jnp.abs(yp[..., 2:3] - z) < edge_thresh)
+        & (jnp.abs(ym[..., 2:3] - z) < edge_thresh)
+        & (xp[..., 2:3] > 0)
+        & (xm[..., 2:3] > 0)
+        & (yp[..., 2:3] > 0)
+        & (ym[..., 2:3] > 0)
+    )
+    valid = (z > 0) & (norm > 1e-9) & neigh_ok
     return jnp.where(valid, n, 0.0)
 
 
@@ -161,13 +198,25 @@ def icp_point_to_plane(
             & (jnp.linalg.norm(n, axis=-1) > 0.5)
         )
         wgt = good.astype(jnp.float32)
-        a = jnp.concatenate([jnp.cross(p, n), n], axis=-1)  # (N, 6)
+        nw = jnp.maximum(jnp.sum(wgt), 1.0)
+        # Rotate about the inlier centroid, not the camera origin: for a
+        # compact object far from the camera, camera-frame (omega, nu) are
+        # near-degenerate (nu ~ -omega x center) and the unregularized
+        # Gauss-Newton step explodes along that null space.  The centroid
+        # frame decouples rotation from translation.
+        c = jnp.einsum("ni,n->i", p, wgt) / nw
+        pc = p - c
+        a = jnp.concatenate([jnp.cross(pc, n), n], axis=-1)  # (N, 6)
         H = jnp.einsum("ni,nj,n->ij", a, a, wgt)
         g = jnp.einsum("ni,n,n->i", a, -r, wgt)
-        H = H + 1e-6 * jnp.eye(6)
+        # Levenberg-Marquardt damping keeps steps bounded along any
+        # remaining symmetry null space (e.g. a sphere's rotations).
+        H = H + 1e-3 * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
         xi = jnp.linalg.solve(H, g)
         dR = _so3_exp(xi[:3])
-        dT = jnp.eye(4).at[:3, :3].set(dR).at[:3, 3].set(xi[3:])
+        # x -> dR (x - c) + c + nu
+        dt = c - dR @ c + xi[3:]
+        dT = jnp.eye(4).at[:3, :3].set(dR).at[:3, 3].set(dt)
         return jnp.where(jnp.sum(wgt) >= 6, dT @ T, T)
 
     T = jax.lax.fori_loop(0, max_iters, step, init_T)

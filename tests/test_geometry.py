@@ -1,0 +1,169 @@
+"""Geometry layer: transforms, view sampling, rasterizer, ICP."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from sixdpose_tpu.geometry import transform as T
+from sixdpose_tpu.geometry import view_sampler as VS
+from sixdpose_tpu.geometry.render import render, render_depth, subdivide_mesh
+
+
+def test_rotation_matrix_orthonormal():
+    M = T.rotation_matrix(0.7, [1, 2, 3])
+    R = M[:3, :3]
+    assert np.allclose(R @ R.T, np.eye(3), atol=1e-12)
+    assert abs(np.linalg.det(R) - 1) < 1e-12
+
+
+def test_euler_roundtrip():
+    angles = (0.3, -0.8, 1.9)
+    M = T.euler_matrix(*angles)
+    back = T.euler_from_matrix(M)
+    assert np.allclose(back, angles, atol=1e-10)
+
+
+def test_quaternion_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        R = T.random_rotation(rng)
+        q = T.quaternion_from_matrix(R)
+        R2 = T.quaternion_matrix(q)[:3, :3]
+        assert np.allclose(R, R2, atol=1e-9)
+
+
+def test_compose_invert():
+    rng = np.random.default_rng(1)
+    R = T.random_rotation(rng)
+    t = rng.normal(size=3)
+    M = T.compose_rt(R, t)
+    assert np.allclose(M @ T.invert_rt(M), np.eye(4), atol=1e-12)
+
+
+def test_hinter_sampling_counts_and_radius():
+    pts, levels = VS.hinter_sampling(100, radius=2.0)
+    assert len(pts) >= 100
+    assert np.allclose(np.linalg.norm(pts, axis=1), 2.0, atol=1e-9)
+    # Icosahedron refinement: 12 -> 42 -> 162 -> ...
+    assert len(pts) == 162
+
+
+def test_views_look_at_origin():
+    views, _ = VS.sample_views(20, radius=600.0, tilt_range=(0, 0.1), tilt_step=1.0)
+    assert views
+    for v in views[:10]:
+        R, t = v["R"], v["t"]
+        assert np.allclose(R @ R.T, np.eye(3), atol=1e-9)
+        assert abs(np.linalg.det(R) - 1) < 1e-9
+        # Sphere center (world origin) must sit on the camera's +z axis at
+        # distance = radius (OpenCV convention).
+        origin_cam = (R @ np.zeros((3, 1)) + t).flatten()
+        assert abs(origin_cam[2] - 600.0) < 1e-6
+        assert np.allclose(origin_cam[:2], 0, atol=1e-6)
+
+
+def _sphere_mesh(r=40.0, nu=24, nv=16):
+    th = np.linspace(0, np.pi, nv)
+    ph = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    Tg, Pg = np.meshgrid(th, ph, indexing="ij")
+    pts = r * np.stack(
+        [np.sin(Tg) * np.cos(Pg), np.sin(Tg) * np.sin(Pg), np.cos(Tg)], -1
+    ).reshape(-1, 3)
+    faces = []
+    for i in range(nv - 1):
+        for j in range(nu):
+            a = i * nu + j
+            b = i * nu + (j + 1) % nu
+            c = (i + 1) * nu + j
+            d = (i + 1) * nu + (j + 1) % nu
+            faces += [[a, b, c], [b, d, c]]
+    return pts, np.array(faces)
+
+
+def test_render_sphere_depth():
+    pts, faces = _sphere_mesh()
+    K = np.array([[572.4, 0, 320], [0, 573.6, 240], [0, 0, 1]])
+    d = np.asarray(
+        render({"pts": pts, "faces": faces}, (640, 480), K, np.eye(3), [0, 0, 600.0])
+    )
+    nz = d > 0
+    assert nz.sum() > 3000
+    # Nearest point of a r=40 sphere at 600 mm.
+    assert abs(d[nz].min() - 560.0) < 2.0
+    # Visible depth stays on the front hemisphere (at the silhouette the
+    # depth approaches the tangent distance < 600).
+    assert d[nz].max() < 601.0
+    # Center pixel depth == closest point.
+    assert abs(d[240, 320] - 560.0) < 1.5
+    # Projected radius ~ f * r / sqrt(z^2 - r^2) ~ 38.3 px.
+    xs = np.nonzero(nz[240])[0]
+    proj_r = (xs.max() - xs.min()) / 2
+    assert abs(proj_r - 38.3) < 2.5
+
+
+def test_render_empty_behind_camera():
+    pts, faces = _sphere_mesh()
+    K = np.array([[572.4, 0, 320], [0, 573.6, 240], [0, 0, 1]])
+    d = np.asarray(
+        render({"pts": pts, "faces": faces}, (64, 48), K, np.eye(3), [0, 0, -600.0])
+    )
+    assert (d == 0).all()
+
+
+def test_subdivide_mesh():
+    pts = np.array([[0, 0, 0], [100, 0, 0], [0, 100, 0.0]])
+    faces = np.array([[0, 1, 2]])
+    p2, f2 = subdivide_mesh(pts, faces, max_edge=30.0)
+    assert len(f2) > 4
+    e = p2[f2]
+    lens = np.linalg.norm(e[:, [0, 1, 2]] - e[:, [1, 2, 0]], axis=2)
+    assert lens.max() <= 30.0 + 1e-9
+
+
+def test_icp_recovers_translation():
+    """Oblique cube (corners pin all 3 translation axes; a smooth sphere
+    would leave lateral shift weakly constrained under projective
+    point-to-plane association)."""
+    from sixdpose_tpu.geometry.transform import rotation_matrix
+    from sixdpose_tpu.models.refine import (
+        backproject,
+        icp_point_to_plane,
+        sample_model_points,
+        scene_normals,
+    )
+
+    half = 25.0
+    pts = np.array(
+        [
+            [sx * half, sy * half, sz * half]
+            for sx in (-1, 1)
+            for sy in (-1, 1)
+            for sz in (-1, 1)
+        ]
+    )
+    quads = [
+        (0, 1, 3, 2), (4, 5, 7, 6), (0, 1, 5, 4),
+        (2, 3, 7, 6), (0, 2, 6, 4), (1, 3, 7, 5),
+    ]
+    faces = []
+    for a, b, c_, d in quads:
+        faces += [[a, b, c_], [a, c_, d]]
+    model = {"pts": pts, "faces": np.array(faces)}
+    R = rotation_matrix(0.5, [1, 1, 0.2])[:3, :3]
+    K = np.array([[572.4, 0, 320], [0, 573.6, 240], [0, 0, 1]], np.float32)
+    d_model = np.asarray(render(model, (640, 480), K, R, [0, 0, 600.0]))
+    d_scene = np.asarray(render(model, (640, 480), K, R, [6.0, -4.0, 603.0]))
+    assert (d_model > 0).sum() > 1000
+    mp, mv = sample_model_points(d_model.astype(np.uint16), K, 1024)
+    sp = backproject(jnp.asarray(d_scene.astype(np.uint16)), jnp.asarray(K))
+    sn = scene_normals(sp)
+    T0 = np.eye(4, dtype=np.float32)
+    Tr, fit, rmse = icp_point_to_plane(
+        jnp.asarray(mp), jnp.asarray(mv), sp, sn, jnp.asarray(K), jnp.asarray(T0)
+    )
+    Tr = np.asarray(Tr)
+    assert float(fit) > 0.6
+    c = mp[mv].mean(0)
+    moved = Tr[:3, :3] @ c + Tr[:3, 3]
+    assert np.allclose((moved - c) * 1000, [6.0, -4.0, 3.0], atol=1.5)
