@@ -1,0 +1,294 @@
+"""Multi-scale matching: depth-histogram proposals + scaled template banks.
+
+The reference's final multi-scale design (linemodLevelup/notes.md:44-63):
+find ~5 candidate depths with a histogram + 1-D NMS, scale template
+features once per depth, match each scaled set.  Its drivers implement
+this by loading separate per-radius template files (test.cpp:116, 178).
+
+TPU-first realization, fully fused in one jit program:
+
+  scale proposal (ops/scale_proposal.py)
+    -> device scatter-build of scaled kernels (ops/similarity.py)
+    -> ONE dense conv over all (scale, template) pairs at the coarse level
+    -> top-K over (scale, template, y, x)
+    -> per-candidate scaled kernel build + grouped local refinement
+    -> NMS
+
+so the scale sweep costs one wider conv instead of S separate matches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sixdpose_tpu.config import DetectorConfig
+from sixdpose_tpu.models.detector import (
+    Detector,
+    Match,
+    _build_response_pyramid_jax,
+    _offset,
+)
+from sixdpose_tpu.ops.scale_proposal import bin_centers, propose_depth_bins, propose_depths
+from sixdpose_tpu.ops.similarity import (
+    build_kernels_scaled,
+    count_kernel_features,
+    score_normalize,
+    similarity_dense,
+    similarity_local,
+    similarity_local_sparse,
+)
+from sixdpose_tpu.ops.topk_nms import nms_boxes, topk_candidates
+
+
+@dataclasses.dataclass
+class ScaleMatch(Match):
+    """A detection with its proposed depth and applied template scale."""
+
+    depth_mm: float = 0.0
+    scale: float = 1.0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "threshold", "num_scales", "kdims"),
+)
+def _multiscale_detect(
+    rgb,
+    depth,
+    feats: Tuple[jnp.ndarray, ...],
+    valids: Tuple[jnp.ndarray, ...],
+    whs: Tuple[jnp.ndarray, ...],
+    coarse_kernels: jnp.ndarray,
+    coarse_nfeat: jnp.ndarray,
+    bin_scales: jnp.ndarray,
+    cfg: DetectorConfig,
+    threshold: float,
+    num_scales: int,
+    kdims: Tuple[Tuple[int, int], ...],
+):
+    """Fused multi-scale detection.
+
+    Args:
+      feats/valids/whs: per-level padded feature arrays ((N, F, 3), (N, F),
+        (N, 2)).
+      coarse_kernels: (NB, N, C, khc, kwc) int8 kernels prebuilt per depth
+        bin (runtime selection is a gather, not a scatter build — the
+        reference's "different scales as different objs" final design,
+        notes.md:58-63).
+      coarse_nfeat: (NB, N) int32.
+      bin_scales: (NB,) float32 feature scale per depth bin.
+      kdims: per-level static (kh, kw) covering the largest allowed scale
+        (used for the per-candidate refinement builds).
+
+    Returns (tid, x, y, score, keep, depths, scales).
+    """
+    levels = cfg.pyramid_levels
+    coarse = levels - 1
+    t_c = cfg.t_at_level[coarse]
+    num_channels = 8 * cfg.num_modalities
+    n = feats[0].shape[0]
+    s = num_scales
+
+    pyramid = _build_response_pyramid_jax(rgb, depth, cfg)
+    bin_idx, depths, counts = propose_depth_bins(depth, num_scales=num_scales)
+    valid_scale = counts > 0
+    scales = jnp.where(valid_scale, bin_scales[bin_idx], 0.0)
+
+    # --- coarse level: one conv over all (scale, template) pairs ---
+    kh_c, kw_c = coarse_kernels.shape[-2:]
+    kern_c = coarse_kernels[bin_idx].reshape(s * n, num_channels, kh_c, kw_c)
+    nfeat_c = coarse_nfeat[bin_idx].reshape(s * n)
+    raw = similarity_dense(pyramid[coarse], kern_c, t_c)
+    scores = score_normalize(raw, jnp.maximum(nfeat_c, 1))
+    # Mask empty kernels and invalid scale proposals.
+    ok = (nfeat_c > 0) & jnp.repeat(valid_scale, n)
+    scores = jnp.where(ok[:, None, None], scores, -1.0)
+    tid, yi, xi, score = topk_candidates(scores, threshold, cfg.top_k)
+    x = xi * t_c + _offset(t_c)
+    y = yi * t_c + _offset(t_c)
+
+    scale_idx = tid // n
+    tmpl_idx = tid % n
+    cand_scale = scales[scale_idx]
+
+    # --- refinement down the pyramid with per-candidate scaled kernels ---
+    for l in range(levels - 2, -1, -1):
+        t = cfg.t_at_level[l]
+        border = 8 * t
+        h_l, w_l = pyramid[l].shape[1:]
+        wh_l = jnp.round(
+            whs[l][tmpl_idx].astype(jnp.float32) * cand_scale[:, None]
+        ).astype(jnp.int32)
+        x = x * 2 + 1
+        y = y * 2 + 1
+        x = jnp.maximum(x, border)
+        y = jnp.maximum(y, border)
+        x = jnp.minimum(x, w_l - wh_l[:, 0] - border)
+        y = jnp.minimum(y, h_l - wh_l[:, 1] - border)
+        og_x = jnp.maximum(x // t - 8, 0)
+        og_y = jnp.maximum(y // t - 8, 0)
+        origins = jnp.stack([og_y * t, og_x * t], axis=1)
+
+        raw_local, nf_sel = similarity_local_sparse(
+            pyramid[l],
+            feats[l][tmpl_idx],
+            valids[l][tmpl_idx],
+            origins,
+            t,
+            scale=cand_scale,
+        )
+        local_scores = score_normalize(raw_local, jnp.maximum(nf_sel, 1))
+        flat = local_scores.reshape(local_scores.shape[0], -1)
+        best = jnp.argmax(flat, axis=1)
+        best_r = best // 16
+        best_c = best % 16
+        new_score = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+        x = (og_x + best_c) * t + _offset(t)
+        y = (og_y + best_r) * t + _offset(t)
+        score = jnp.where(score >= 0, new_score, -1.0)
+        score = jnp.where(score > threshold, score, -1.0)
+
+    order = jnp.argsort(-score)
+    tmpl_idx, scale_idx, x, y, score, cand_scale = (
+        tmpl_idx[order],
+        scale_idx[order],
+        x[order],
+        y[order],
+        score[order],
+        cand_scale[order],
+    )
+    wh0 = jnp.round(
+        whs[0][tmpl_idx].astype(jnp.float32) * cand_scale[:, None]
+    ).astype(jnp.float32)
+    boxes = jnp.concatenate(
+        [x[:, None].astype(jnp.float32), y[:, None].astype(jnp.float32), wh0],
+        axis=1,
+    )
+    keep = nms_boxes(boxes, score, cfg.nms_iou)
+    return tmpl_idx, x, y, score, keep, depths[scale_idx], cand_scale
+
+
+class MultiScaleDetector:
+    """Depth-histogram multi-scale matcher over a single-radius bank.
+
+    Wraps a trained :class:`Detector` whose templates were extracted at
+    ``train_depth`` mm and matches them at histogram-proposed depths.
+    """
+
+    def __init__(
+        self,
+        detector: Detector,
+        train_depth: float,
+        num_scales: int = 5,
+        bin_mm: int = 100,
+        lo_mm: int = 400,
+        hi_mm: int = 2000,
+    ):
+        self.det = detector
+        self.cfg = detector.cfg
+        self.train_depth = float(train_depth)
+        self.num_scales = num_scales
+        centers = bin_centers(bin_mm, lo_mm, hi_mm)
+        self.bin_scales = (train_depth / centers).astype(np.float32)
+        self.max_scale = float(self.bin_scales.max())
+        self._arrays = {}
+
+    def _feature_arrays(self, class_id: str):
+        if class_id not in self._arrays:
+            tmpls = self.det.bank.templates[class_id]
+            levels = self.cfg.pyramid_levels
+            feats, valids, whs, kdims = [], [], [], []
+            for l in range(levels):
+                fmax = max(len(t[l].features) for t in tmpls)
+                n = len(tmpls)
+                fa = np.zeros((n, fmax, 3), np.int32)
+                va = np.zeros((n, fmax), bool)
+                wh = np.zeros((n, 2), np.int32)
+                for i, t in enumerate(tmpls):
+                    f = t[l].features
+                    fa[i, : len(f)] = f
+                    va[i, : len(f)] = True
+                    wh[i] = (t[l].width, t[l].height)
+                feats.append(jnp.asarray(fa))
+                valids.append(jnp.asarray(va))
+                whs.append(jnp.asarray(wh))
+                kh = int(np.ceil((wh[:, 1].max() + 1) * self.max_scale))
+                kw = int(np.ceil((wh[:, 0].max() + 1) * self.max_scale))
+                kdims.append((kh, kw))
+
+            # Prebuild coarse-level kernels once per discrete depth bin
+            # (host numpy scatter; runtime scale selection is a gather).
+            coarse = levels - 1
+            kh_c, kw_c = kdims[coarse]
+            num_channels = 8 * self.cfg.num_modalities
+            fa = np.asarray(feats[coarse])
+            va = np.asarray(valids[coarse])
+            nb = len(self.bin_scales)
+            ck = np.zeros((nb, n, num_channels, kh_c, kw_c), np.int8)
+            cn = np.zeros((nb, n), np.int32)
+            for b, sc in enumerate(self.bin_scales):
+                xs = np.round(fa[..., 0] * sc).astype(np.int64)
+                ys = np.round(fa[..., 1] * sc).astype(np.int64)
+                cs = fa[..., 2]
+                ok = va & (xs >= 0) & (xs < kw_c) & (ys >= 0) & (ys < kh_c)
+                tidx = np.broadcast_to(np.arange(n)[:, None], xs.shape)
+                ck[b, tidx[ok], cs[ok], ys[ok], xs[ok]] = 1
+                cn[b] = ck[b].reshape(n, -1).sum(1)
+            self._arrays[class_id] = (
+                tuple(feats),
+                tuple(valids),
+                tuple(whs),
+                jnp.asarray(ck),
+                jnp.asarray(cn),
+                jnp.asarray(self.bin_scales),
+                tuple(kdims),
+            )
+        return self._arrays[class_id]
+
+    def match(
+        self,
+        rgb: Optional[np.ndarray],
+        depth: np.ndarray,
+        threshold: float,
+        class_id: str,
+    ) -> List[ScaleMatch]:
+        feats, valids, whs, ck, cn, bs, kdims = self._feature_arrays(class_id)
+        tid, x, y, score, keep, depths, scales = _multiscale_detect(
+            jnp.asarray(rgb) if rgb is not None else None,
+            jnp.asarray(depth),
+            feats,
+            valids,
+            whs,
+            ck,
+            cn,
+            bs,
+            self.cfg,
+            float(threshold),
+            self.num_scales,
+            kdims,
+        )
+        tid, x, y, score, keep, depths, scales = jax.device_get(
+            (tid, x, y, score, keep, depths, scales)
+        )
+        out = []
+        for i in range(len(score)):
+            if keep[i] and score[i] >= 0:
+                out.append(
+                    ScaleMatch(
+                        x=int(x[i]),
+                        y=int(y[i]),
+                        similarity=float(score[i]),
+                        class_id=class_id,
+                        template_id=int(tid[i]),
+                        depth_mm=float(depths[i]),
+                        scale=float(scales[i]),
+                    )
+                )
+        out.sort(key=lambda m: -m.similarity)
+        return out

@@ -1,0 +1,99 @@
+"""Render-based template training.
+
+Reference flow (linemod_and_levelup_test.py:263-272 'render_train' mode and
+linemod_ros/train.py:21-128): sample camera views on a sphere around the
+object, render RGB-D at each view, and add a template per view with the
+render's depth>0 mask; per-template pose info (cam_K, cam_R_w2c,
+cam_t_w2c) is stored alongside (inout.save_info).
+
+Here the renders come from the JAX rasterizer in device-side batches; the
+(host-side, greedy) feature extraction runs per view as in the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sixdpose_tpu.geometry.render import render
+from sixdpose_tpu.geometry.view_sampler import sample_views
+from sixdpose_tpu.models.detector import Detector
+
+
+def render_train_templates(
+    detector: Detector,
+    class_id: str,
+    model: dict,
+    K: np.ndarray,
+    radii: Sequence[float],
+    min_n_views: int = 100,
+    im_size: Tuple[int, int] = (640, 480),
+    azimuth_range: Tuple[float, float] = (0.0, 2 * math.pi),
+    elev_range: Tuple[float, float] = (0.0, 0.5 * math.pi),
+    tilt_range: Tuple[float, float] = (-0.5 * math.pi, 0.5 * math.pi),
+    tilt_step: float = 0.2 * math.pi,
+    verbose: bool = False,
+) -> Dict[str, int]:
+    """Train a template bank from rendered views.
+
+    Args:
+      detector: target detector (templates are added to its bank).
+      model: mesh dict with 'pts' (mm), 'faces', optional 'colors'.
+      K: (3, 3) camera intrinsics used for the renders.
+      radii: view-sphere radii in mm; each radius is a scale variant
+        (reference renders radii like [600] or [800, 1000],
+        linemod_ros/train.py:32).
+
+    Returns stats: {'added': n_ok, 'failed': n_fail} (the reference skips
+    views whose extraction fails, linemod_and_levelup_test.py:155).
+    """
+    added = failed = 0
+    for radius in radii:
+        views, _levels = sample_views(
+            min_n_views,
+            radius=float(radius),
+            azimuth_range=azimuth_range,
+            elev_range=elev_range,
+            tilt_range=tilt_range,
+            tilt_step=tilt_step,
+        )
+        for vi, view in enumerate(views):
+            R = view["R"]
+            t = view["t"]
+            rgb, depth = render(model, im_size, K, R, t, mode="rgb+depth")
+            rgb = np.asarray(rgb)
+            depth_mm = np.asarray(depth)
+            mask = (depth_mm > 0).astype(np.uint8) * 255
+            if mask.sum() == 0:
+                failed += 1
+                continue
+            info = {
+                "cam_K": np.asarray(K, np.float64),
+                "cam_R_w2c": np.asarray(R, np.float64),
+                "cam_t_w2c": np.asarray(t, np.float64).reshape(3, 1),
+                "radius": float(radius),
+                "view_id": vi,
+            }
+            tid = detector.add_template(
+                class_id,
+                rgb,
+                depth_mm.astype(np.uint16),
+                mask,
+                info=info,
+            )
+            if tid < 0:
+                failed += 1
+            else:
+                added += 1
+            if verbose and (vi % 50 == 0):
+                print(f"radius {radius}: view {vi}/{len(views)} added={added}")
+    return {"added": added, "failed": failed}
+
+
+def template_pose(detector: Detector, class_id: str, template_id: int):
+    """(K, R, t) recorded for a template (for ICP seeding, reference
+    linemod_and_levelup_test.py:345-376 reads the saved info YAML)."""
+    info = detector.bank.infos[class_id][template_id]
+    return info["cam_K"], info["cam_R_w2c"], info["cam_t_w2c"]

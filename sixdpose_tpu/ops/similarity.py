@@ -64,6 +64,57 @@ def build_template_kernels(
     return kern
 
 
+def build_kernels_scaled(
+    features: jnp.ndarray,
+    valid: jnp.ndarray,
+    scale: jnp.ndarray,
+    kh: int,
+    kw: int,
+    num_channels: int,
+) -> jnp.ndarray:
+    """Device-side one-hot kernel build with feature-coordinate scaling.
+
+    The reference's multi-scale design scales template feature coordinates
+    by train_depth / scene_depth once per proposed depth (notes.md:44-58).
+    On TPU that is a single scatter-add per scale — jit-able, so scale
+    proposal -> kernel build -> conv fuses into one program.
+
+    Args:
+      features: (N, F, 3) int32 (x, y, channel).
+      valid: (N, F) bool.
+      scale: scalar float, multiplies feature coordinates.
+      kh, kw: output kernel extent (must cover the largest scale).
+      num_channels: 8 * num_modalities.
+
+    Returns (N, num_channels, kh, kw) float32 one-hot kernels.
+    """
+    n, f, _ = features.shape
+    xs = jnp.round(features[..., 0].astype(jnp.float32) * scale).astype(jnp.int32)
+    ys = jnp.round(features[..., 1].astype(jnp.float32) * scale).astype(jnp.int32)
+    cs = features[..., 2].astype(jnp.int32)
+    ok = valid & (xs >= 0) & (xs < kw) & (ys >= 0) & (ys < kh)
+    tid = jnp.broadcast_to(jnp.arange(n)[:, None], (n, f))
+    flat = (
+        tid * (num_channels * kh * kw)
+        + cs * (kh * kw)
+        + ys * kw
+        + xs
+    )
+    flat = jnp.where(ok, flat, n * num_channels * kh * kw)  # dump slot
+    kern = jnp.zeros((n * num_channels * kh * kw + 1,), jnp.float32)
+    kern = kern.at[flat.reshape(-1)].add(ok.reshape(-1).astype(jnp.float32))
+    # Clamp collisions (two features rounding onto one cell count once,
+    # matching the one-hot dense build).
+    kern = jnp.minimum(kern, 1.0)
+    return kern[:-1].reshape(n, num_channels, kh, kw)
+
+
+def count_kernel_features(kernels: jnp.ndarray) -> jnp.ndarray:
+    """Effective feature count per template ((N, C, KH, KW) -> (N,));
+    needed because scaling can merge features onto one cell."""
+    return jnp.sum(kernels, axis=(1, 2, 3)).astype(jnp.int32)
+
+
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -181,6 +232,77 @@ def similarity_local(
         preferred_element_type=jnp.float32,
     )
     return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("t", "window"))
+def similarity_local_sparse(
+    response_maps: jnp.ndarray,
+    feats_sel: jnp.ndarray,
+    valid_sel: jnp.ndarray,
+    origins: jnp.ndarray,
+    t: int,
+    window: int = 16,
+    scale: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Feature-sparse local similarity (same result as similarity_local).
+
+    For each (candidate, feature) the 16x16 stride-t response window is ONE
+    contiguous (window, window) block of the space-to-depth maps at channel
+    (c, y%t, x%t), block (oy/t + y/t, ox/t + x/t) — so the whole refinement
+    is K*F small dynamic slices + a sum over F, with cost independent of
+    the template area.  This replaces the grouped conv whose groups are
+    matrix-vector products (1 output channel each — poor MXU utilization;
+    75 ms vs ~3 ms for the case1 600-bank refinement).
+
+    Args:
+      response_maps: (C, H, W) uint8.
+      feats_sel: (K, F, 3) int32 per-candidate features (x, y, channel).
+      valid_sel: (K, F) bool.
+      origins: (K, 2) int32 (y, x) pixel coords, multiples of t.
+      scale: optional (K,) float feature-coordinate scale (multiscale).
+
+    Returns (K, window, window) float32 raw scores.
+    """
+    c = response_maps.shape[0]
+    maps = _s2d_maps(response_maps, t)  # (C*t*t, Hb, Wb)
+    hb, wb = maps.shape[1:]
+    # Pad so any in-window slice stays in bounds; out-of-range features are
+    # redirected to a zero border.
+    pads = jnp.pad(maps, ((0, 1), (0, window + 1), (0, window + 1)))
+    zero_ch = c * t * t  # extra all-zero channel
+
+    def per_candidate(f3, val, og, sc):
+        x = f3[:, 0].astype(jnp.float32)
+        y = f3[:, 1].astype(jnp.float32)
+        if scale is not None:
+            x = jnp.round(x * sc)
+            y = jnp.round(y * sc)
+        xi = x.astype(jnp.int32)
+        yi = y.astype(jnp.int32)
+        ch = f3[:, 2]
+        ok = val & (xi >= 0) & (yi >= 0)
+        cprime = ch * (t * t) + (yi % t) * t + (xi % t)
+        by = og[0] // t + yi // t
+        bx = og[1] // t + xi // t
+        ok = ok & (by < hb) & (bx < wb)
+        cprime = jnp.where(ok, cprime, zero_ch)
+        by = jnp.clip(by, 0, hb - 1)
+        bx = jnp.clip(bx, 0, wb - 1)
+
+        def one_feat(cp, b_y, b_x):
+            return jax.lax.dynamic_slice(
+                pads, (cp, b_y, b_x), (1, window, window)
+            )[0].astype(jnp.float32)
+
+        patches = jax.vmap(one_feat)(cprime, by, bx)  # (F, window, window)
+        return jnp.sum(patches, axis=0), jnp.sum(ok)
+
+    if scale is None:
+        sc_arg = jnp.ones((feats_sel.shape[0],), jnp.float32)
+    else:
+        sc_arg = scale
+    scores, counts = jax.vmap(per_candidate)(feats_sel, valid_sel, origins, sc_arg)
+    return scores, counts.astype(jnp.int32)
 
 
 def score_normalize(raw: jnp.ndarray, nfeat: jnp.ndarray) -> jnp.ndarray:

@@ -68,7 +68,19 @@ def compute_response_maps(spread: jnp.ndarray, lut: str = "levelup") -> jnp.ndar
     for ori in range(8):
         bit = jnp.uint8(1 << ori)
         exact = (s & bit) != 0
-        if lut == "levelup":
+        if lut == "binary45":
+            # cxxLCHF's own LUT (lchf.cpp:450-451): exact bit OR a
+            # 45-degree neighbor -> 4, everything else -> 0.
+            near = (
+                s
+                & (
+                    bit
+                    | _rot_bits(jnp.uint8(1 << ori), 1)
+                    | _rot_bits(jnp.uint8(1 << ori), 7)
+                )
+            ) != 0
+            resp = jnp.where(near, 4, 0)
+        elif lut == "levelup":
             adj = (s & (_rot_bits(jnp.uint8(1 << ori), 1) | _rot_bits(jnp.uint8(1 << ori), 7))) != 0
             resp = jnp.where(exact, 4, jnp.where(adj, 1, 0))
         elif lut == "stock":

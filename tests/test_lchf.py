@@ -1,0 +1,194 @@
+"""LCHF: synthetic-similarity forest validation (the reference's
+fake_feature_test idea, cxxLCHF/test.cpp:94-141), mean-shift, voting, and
+a small end-to-end render -> train -> predict -> vote run."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from sixdpose_tpu.lchf import (
+    LchfConfig,
+    Forest,
+    PatchSet,
+    cluster_modes,
+    dense_rois,
+    extract_patch_feature,
+    hough_vote,
+    make_training_patches,
+    predict_scene,
+    scene_roi_set,
+    similarity_one_to_many,
+    train_forest,
+)
+
+
+def _fake_clusters(rng, n_clusters=4, per=30):
+    """2-D points in well-separated clusters; similarity = closed-form
+    distance measure; rpy label = cluster-specific direction + noise."""
+    centers = rng.uniform(-50, 50, (n_clusters, 2))
+    pts, rpy = [], []
+    for ci, c in enumerate(centers):
+        pts.append(c + rng.normal(0, 1.5, (per, 2)))
+        base = np.array([ci * 0.7, -ci * 0.4, ci * 0.2])
+        rpy.append(base + rng.normal(0, 0.02, (per, 3)))
+    return np.concatenate(pts), np.concatenate(rpy).astype(np.float32)
+
+
+def test_forest_splits_fake_clusters(rng):
+    pts, rpy = _fake_clusters(rng)
+    n = len(pts)
+
+    def similarity_rows(pivot, members):
+        d = np.linalg.norm(pts[members] - pts[pivot], axis=1)
+        return 100.0 * np.exp(-d / 20.0)
+
+    forest = Forest(num_trees=3, train_ratio=0.8, seed=1, size_thresh=5)
+    forest.train(similarity_rows, rpy)
+
+    # Leaves should be (near-)pure in cluster identity.
+    cluster_of = np.repeat(np.arange(4), 30)
+    purities = []
+    for tree in forest.trees:
+        for leaf in tree.id_leafnodes:
+            ids = tree.nodes[leaf].ind_feats
+            if len(ids) < 3:
+                continue
+            labels = cluster_of[ids]
+            purities.append(np.bincount(labels).max() / len(labels))
+    assert purities and np.mean(purities) > 0.9
+
+    # Prediction routes a sample near a cluster center to a leaf whose
+    # members are from that cluster.
+    probe = pts[5] + 0.1  # near cluster 0
+    leaf_ids = forest.predict(lambda piv: 100.0 * np.exp(-np.linalg.norm(pts[piv] - probe) / 20.0))
+    lm = forest.leaf_feats_map()
+    for ti, leaf in enumerate(leaf_ids):
+        members = lm[ti][leaf]
+        assert np.bincount(cluster_of[members]).argmax() == 0
+
+
+def test_forest_save_load(rng, tmp_path):
+    pts, rpy = _fake_clusters(rng, n_clusters=2, per=20)
+
+    def similarity_rows(pivot, members):
+        d = np.linalg.norm(pts[members] - pts[pivot], axis=1)
+        return 100.0 * np.exp(-d / 20.0)
+
+    forest = Forest(num_trees=2, seed=0, size_thresh=5)
+    forest.train(similarity_rows, rpy)
+    p = str(tmp_path / "forest.npz")
+    forest.save(p)
+    back = Forest.load(p)
+    assert len(back.trees) == 2
+    for t1, t2 in zip(forest.trees, back.trees):
+        assert t1.id_leafnodes == t2.id_leafnodes
+        assert all(
+            n1.split_feat_idx == n2.split_feat_idx
+            and abs(n1.simi_thresh - n2.simi_thresh) < 1e-6
+            for n1, n2 in zip(t1.nodes, t2.nodes)
+        )
+
+
+def test_mean_shift_modes(rng):
+    blobs = np.concatenate(
+        [rng.normal(0, 0.1, (40, 2)), rng.normal(5, 0.1, (40, 2)), rng.normal((0, 8), 0.1, (40, 2))]
+    )
+    modes, labels = cluster_modes(blobs, bandwidth=1.0)
+    assert len(modes) == 3
+    assert len(np.unique(labels)) == 3
+
+
+def _patch_pair():
+    rng = np.random.default_rng(0)
+    rgb = np.zeros((50, 50, 3), np.uint8)
+    rgb[10:40, 10:40] = (200, 60, 30)
+    rgb[20:30, 20:30] = (30, 200, 160)
+    depth = np.full((50, 50), 800, np.uint16)
+    yy, xx = np.mgrid[0:50, 0:50]
+    depth = (depth + 3 * xx).astype(np.uint16)
+    return rgb, depth
+
+
+def test_patch_similarity_self_high():
+    """simi_test semantics (cxxLCHF/test.cpp:200): self-similarity ~ 100."""
+    rgb, depth = _patch_pair()
+    cfg = LchfConfig(num_features=8, extract_threshold=1)
+    f = extract_patch_feature(rgb, depth, None, cfg, with_responses=True)
+    assert f is not None
+    pset = PatchSet.from_features([f])
+    sim = similarity_one_to_many(f, pset, np.array([0]), cfg.z_check)
+    assert sim[0] > 90.0
+
+    # A blank patch's responses give (near-)zero similarity.
+    blank_rgb = np.zeros((50, 50, 3), np.uint8)
+    blank_rgb[24:26, 24:26] = 255
+    f2 = extract_patch_feature(blank_rgb, depth, None, cfg, with_responses=True)
+    if f2 is not None:
+        pset2 = PatchSet.from_features([f2])
+        sim12 = similarity_one_to_many(f, pset2, np.array([0]), cfg.z_check)
+        assert sim12[0] < sim[0]
+
+
+def test_dense_rois():
+    depth = np.zeros((100, 120), np.uint16)
+    depth[20:80, 30:90] = 700
+    rois = dense_rois(depth, stride=10, width=50, height=50)
+    assert len(rois) > 0
+    assert (rois[:, 4] > 0).all()
+    assert (rois[:, 0] + rois[:, 2] < 120).all()
+
+
+def test_end_to_end_vote_peak():
+    """Train on patches of one rendered-like object; vote on a scene with
+    the object translated; the top vote bin should be near the new center."""
+    rng = np.random.default_rng(2)
+    obj = np.zeros((60, 60, 3), np.uint8)
+    yy, xx = np.mgrid[0:60, 0:60]
+    m = ((yy - 30) ** 2 + (xx - 30) ** 2) < 625
+    obj[m] = (180, 90, 40)
+    obj[m & (xx > 30)] = (40, 160, 220)
+    obj[m & (yy > 30) & (xx <= 30)] = (90, 220, 90)
+    obj_depth = np.where(m, 500 + (xx - 30) * 2, 0).astype(np.uint16)
+
+    train_rgb = np.zeros((120, 140, 3), np.uint8)
+    train_rgb[30:90, 40:100] = obj
+    train_depth = np.zeros((120, 140), np.uint16)
+    train_depth[30:90, 40:100] = obj_depth
+    train_mask = np.zeros((120, 140), np.uint8)
+    train_mask[30:90, 40:100] = m.astype(np.uint8) * 255
+
+    cfg = LchfConfig(num_features=6, extract_threshold=1, strong_threshold=30.0)
+    feats, rpys, ts = make_training_patches(
+        train_rgb, train_depth, train_mask, np.eye(3), cfg, patch=40, stride=10
+    )
+    assert len(feats) >= 4, len(feats)
+    model = train_forest(
+        feats, np.array(rpys), np.array(ts), cfg, num_trees=2, size_thresh=2, seed=3
+    )
+
+    # Scene: same object shifted.
+    scene_rgb = np.zeros((120, 140, 3), np.uint8)
+    scene_rgb[50:110, 60:120] = obj
+    scene_depth = np.zeros((120, 140), np.uint16)
+    scene_depth[50:110, 60:120] = obj_depth
+
+    rois = dense_rois(scene_depth, stride=10, width=40, height=40)
+    assert len(rois) > 0
+    roi_set = scene_roi_set(scene_rgb, scene_depth, rois, cfg)
+    leaves = predict_scene(model, roi_set, cfg)
+    bins, scores, votes = hough_vote(
+        leaves,
+        model.leaf_feats_map(),
+        rois,
+        model.rpy,
+        model.t,
+        im_size=(140, 120),
+        train_radius=500.0,
+        steps=10,
+    )
+    assert len(bins) > 0 and scores[0] > 0
+    # Scene object center ~ (90, 80); top-3 vote x-bin within 2 bins.
+    top_xy = bins[:3, :2] * 10
+    d = np.linalg.norm(top_xy - np.array([90, 80]), axis=1)
+    assert d.min() < 25.0, (bins[:3], scores[:3])

@@ -154,3 +154,35 @@ def test_score_normalize():
     nfeat = jnp.asarray(np.array([2, 4], np.int32))
     s = np.asarray(score_normalize(raw, nfeat))
     assert np.allclose(s[:, 0, 0], [100.0, 100.0])
+
+
+def test_similarity_local_sparse_matches_dense(rng):
+    """The feature-sparse local refinement must equal the grouped-conv one."""
+    from sixdpose_tpu.ops.similarity import similarity_local_sparse
+
+    h, w, t = 64, 64, 4
+    rm = rng.integers(0, 5, (8, h, w)).astype(np.uint8)
+    k, f = 3, 5
+    feats = np.stack(
+        [
+            rng.integers(0, 8, (k, f)),
+            rng.integers(0, 8, (k, f)),
+            rng.integers(0, 8, (k, f)),
+        ],
+        axis=-1,
+    )
+    valid = np.ones((k, f), bool)
+    kern = build_template_kernels(feats, valid, 8, 8, 8)
+    origins = np.array([[0, 0], [4, 8], [8, 4]], np.int32)
+    dense = np.asarray(
+        similarity_local(jnp.asarray(rm), jnp.asarray(kern), jnp.asarray(origins), t)
+    )
+    sparse, counts = similarity_local_sparse(
+        jnp.asarray(rm),
+        jnp.asarray(feats.astype(np.int32)),
+        jnp.asarray(valid),
+        jnp.asarray(origins),
+        t,
+    )
+    assert (np.asarray(counts) == f).all()
+    assert np.allclose(np.asarray(sparse), dense)
