@@ -238,7 +238,7 @@ class MultiScaleDetector:
                 cs = fa[..., 2]
                 ok = va & (xs >= 0) & (xs < kw_c) & (ys >= 0) & (ys < kh_c)
                 tidx = np.broadcast_to(np.arange(n)[:, None], xs.shape)
-                ck[b, tidx[ok], cs[ok], ys[ok], xs[ok]] = 1
+                np.add.at(ck[b], (tidx[ok], cs[ok], ys[ok], xs[ok]), 1)
                 cn[b] = ck[b].reshape(n, -1).sum(1)
             self._arrays[class_id] = (
                 tuple(feats),

@@ -209,6 +209,22 @@ def icp_point_to_plane(
         a = jnp.concatenate([jnp.cross(pc, n), n], axis=-1)  # (N, 6)
         H = jnp.einsum("ni,nj,n->ij", a, a, wgt)
         g = jnp.einsum("ni,n,n->i", a, -r, wgt)
+        # Blend a point-to-point term: projective point-to-plane alone has
+        # an in-plane null space per surface patch, and quantization-biased
+        # normals make the solution SLIDE along a dominant plane until the
+        # footprint leaves the object (observed: fitness 0.998 -> 0.04 on a
+        # box scene).  The point-to-point Jacobian J = [-[pc]x | I] pins
+        # in-plane translation with a restoring force toward the associated
+        # points.  Open3D's NN correspondences create the same restoring
+        # force implicitly; projective association needs it explicitly.
+        w_pt = 0.2
+        px_ = jnp.zeros((pc.shape[0], 3, 3))
+        px_ = px_.at[:, 0, 1].set(-pc[:, 2]).at[:, 0, 2].set(pc[:, 1])
+        px_ = px_.at[:, 1, 0].set(pc[:, 2]).at[:, 1, 2].set(-pc[:, 0])
+        px_ = px_.at[:, 2, 0].set(-pc[:, 1]).at[:, 2, 1].set(pc[:, 0])
+        Jpt = jnp.concatenate([-px_, jnp.broadcast_to(jnp.eye(3), px_.shape)], axis=2)
+        H = H + w_pt * jnp.einsum("nij,nik,n->jk", Jpt, Jpt, wgt)
+        g = g + w_pt * jnp.einsum("nij,ni,n->j", Jpt, -d, wgt)
         # Levenberg-Marquardt damping keeps steps bounded along any
         # remaining symmetry null space (e.g. a sphere's rotations).
         H = H + 1e-3 * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)

@@ -58,10 +58,18 @@ def select_scattered_features(
     already be sorted by score descending (stable).
 
     Returns indices of the selected candidates, or None if impossible.
+    Uses the native C++ kernel when built (native_bridge.select_scattered).
     """
     n = len(xs)
     if n < num_features:
         return None
+
+    from sixdpose_tpu import native_bridge
+
+    if native_bridge.available():
+        sel = native_bridge.select_scattered(xs, ys, num_features, distance)
+        if sel is not None and len(sel) == num_features:
+            return sel
     selected: List[int] = []
     dist = float(distance)
     dist_sq = dist * dist

@@ -60,7 +60,9 @@ def build_template_kernels(
     cs = features[..., 2]
     tid = np.broadcast_to(np.arange(n)[:, None], (n, f))
     m = valid & (xs >= 0) & (xs < kw) & (ys >= 0) & (ys < kh)
-    kern[tid[m], cs[m], ys[m], xs[m]] = 1
+    # Accumulate (not set): coinciding features each contribute, exactly as
+    # the reference adds one response per feature (cpp:1323-1353).
+    np.add.at(kern, (tid[m], cs[m], ys[m], xs[m]), 1)
     return kern
 
 
@@ -103,9 +105,9 @@ def build_kernels_scaled(
     flat = jnp.where(ok, flat, n * num_channels * kh * kw)  # dump slot
     kern = jnp.zeros((n * num_channels * kh * kw + 1,), jnp.float32)
     kern = kern.at[flat.reshape(-1)].add(ok.reshape(-1).astype(jnp.float32))
-    # Clamp collisions (two features rounding onto one cell count once,
-    # matching the one-hot dense build).
-    kern = jnp.minimum(kern, 1.0)
+    # Collisions accumulate: after scaling, features that round onto one
+    # cell each contribute, exactly as the reference adds one response per
+    # feature (cpp:1323-1353).
     return kern[:-1].reshape(n, num_channels, kh, kw)
 
 

@@ -155,8 +155,16 @@ def floyd_steinberg_seeds(density: np.ndarray) -> np.ndarray:
     """Density error-diffusion seed placement (FloydSteinberg.cpp:35-138).
 
     Returns (S, 2) float (x, y) seed positions.  Serpentine scan with the
-    classic 7/16, 3/16, 5/16, 1/16 kernel.
+    classic 7/16, 3/16, 5/16, 1/16 kernel.  Uses the native C++ kernel
+    when built (~100x the pure-Python scan).
     """
+    from sixdpose_tpu import native_bridge
+
+    if native_bridge.available():
+        seeds = native_bridge.floyd_steinberg(density)
+        if seeds is not None:
+            return seeds
+
     err = density.astype(np.float64).copy()
     h, w = err.shape
     seeds = []

@@ -1,0 +1,110 @@
+"""End-to-end serving: train -> detect -> batched ICP -> pose out.
+
+This is the framework's full pipeline (the reference's linemod_ros flow)
+on a synthetic box: render a training bank, then hand the service a scene
+rendered at a known pose and check the recovered pose.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from sixdpose_tpu.config import (
+    ColorGradientConfig,
+    DepthNormalConfig,
+    DetectorConfig,
+    IcpConfig,
+)
+from sixdpose_tpu.eval import pose_error
+from sixdpose_tpu.geometry.render import render
+from sixdpose_tpu.models.detector import Detector
+from sixdpose_tpu.models.train import render_train_templates
+from sixdpose_tpu.serving import PoseEstimationService, nms_norms, PoseEstimate
+
+
+def _model():
+    half = np.array([30.0, 20.0, 12.0])
+    pts = np.array(
+        [
+            [sx * half[0], sy * half[1], sz * half[2]]
+            for sx in (-1, 1)
+            for sy in (-1, 1)
+            for sz in (-1, 1)
+        ]
+    )
+    quads = [
+        (0, 1, 3, 2), (4, 5, 7, 6), (0, 1, 5, 4),
+        (2, 3, 7, 6), (0, 2, 6, 4), (1, 3, 7, 5),
+    ]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [[a, b, c], [a, c, d]]
+    colors = np.stack(
+        [
+            100 + 155 * (pts[:, 0] > 0),
+            100 + 155 * (pts[:, 1] > 0),
+            100 + 155 * (pts[:, 2] > 0),
+        ],
+        1,
+    ).astype(np.uint8)
+    return {"pts": pts, "faces": np.array(faces), "colors": colors}
+
+
+K = np.array([[240.0, 0, 120], [0, 240.0, 90], [0, 0, 1]])
+
+
+def test_nms_norms():
+    mk = lambda s, t: PoseEstimate(
+        "a", 0, 0, 0, s, np.eye(3), np.array(t, float).reshape(3, 1), 1.0
+    )
+    ests = [mk(90, [0, 0, 500]), mk(80, [5, 5, 505]), mk(70, [200, 0, 500])]
+    kept = nms_norms(ests, radius_mm=40.0)
+    assert len(kept) == 2
+    assert kept[0].similarity == 90 and kept[1].similarity == 70
+
+
+def test_service_end_to_end():
+    model = _model()
+    cfg = DetectorConfig(
+        t_at_level=(4, 8),
+        top_k=16,
+        color=ColorGradientConfig(num_features=24, strong_threshold=30.0),
+        depth=DepthNormalConfig(num_features=16, extract_threshold=1, focal=240.0),
+    )
+    det = Detector(cfg)
+    stats = render_train_templates(
+        det, "box", model, K,
+        radii=[420.0],
+        min_n_views=40,
+        im_size=(240, 180),
+        tilt_range=(0.0, 0.1),
+        tilt_step=1.0,
+    )
+    assert stats["added"] >= 15
+
+    svc = PoseEstimationService(
+        det, {"box": model}, K,
+        threshold=60.0,
+        icp=IcpConfig(max_iters=15),
+        min_fitness=0.4,
+    )
+
+    # Scene: the object at one of the training poses, slightly shifted.
+    info = det.bank.infos["box"][1]
+    R_gt = info["cam_R_w2c"]
+    t_gt = np.asarray(info["cam_t_w2c"]).reshape(3, 1) + np.array(
+        [[25.0], [-12.0], [8.0]]
+    )
+    rgb, depth = render(model, (240, 180), K, R_gt, t_gt, mode="rgb+depth")
+    ests = svc.process_frame(
+        np.asarray(rgb), np.asarray(depth).astype(np.uint16)
+    )
+    assert ests, "no pose estimates"
+    best = ests[0]
+    # The box is geometrically symmetric under 180-degree flips, and the
+    # depth-only ICP cannot disambiguate them, so assert with ADI (the
+    # symmetric-object metric, as the SIXD protocol does) relative to the
+    # ~72 mm object diameter.
+    err = pose_error.adi(best.R, best.t, R_gt, t_gt, model)
+    assert err < 12.0, (err, best)
