@@ -109,3 +109,29 @@ def test_sharded_batch_shapes(trained):
         60.0,
     )
     assert out[0].shape == (4, det.cfg.top_k)
+
+
+def test_tiled_matches_single_device(trained):
+    """Row-slab (tile) sharding with halo exchange must localize the object
+    at the same position/score as single-device matching."""
+    from sixdpose_tpu.parallel.tiled_match import tiled_detect
+
+    det, scenes = trained
+    cfg = det.cfg
+    mesh = make_mesh(tile=4)
+    kernels, nfeats, whs = det.device_bank("objs")
+
+    for b in (0, 2):
+        scene = scenes[b]
+        tid, x, y, score = jax.device_get(
+            tiled_detect(
+                mesh, jnp.asarray(scene), None, kernels, nfeats, whs, cfg, 60.0
+            )
+        )
+        ms = det.match(scene, None, threshold=60.0, apply_nms=False)
+        assert ms, f"scene {b}: single-device found nothing"
+        top = ms[0]
+        assert score[0] >= 0, f"scene {b}: tiled found nothing"
+        assert int(tid[0]) == top.template_id
+        assert (int(x[0]), int(y[0])) == (top.x, top.y)
+        assert abs(float(score[0]) - top.similarity) < 1e-3
