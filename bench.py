@@ -93,13 +93,16 @@ def main() -> int:
     jax.block_until_ready(out)
 
     # Steady-state pipelined throughput (async dispatch, one final block) —
-    # the deployment pattern for a frame stream.
+    # the deployment pattern for a frame stream.  Best of 3 rounds to damp
+    # host/tunnel jitter.
     n = 100
-    t0 = time.time()
-    outs = [det.match_arrays(rgbj, depj, 75.0, cid) for _ in range(n)]
-    jax.block_until_ready(outs)
-    dt = (time.time() - t0) / n
-    fps = 1.0 / dt
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        outs = [det.match_arrays(rgbj, depj, 75.0, cid) for _ in range(n)]
+        jax.block_until_ready(outs)
+        best_dt = min(best_dt, (time.time() - t0) / n)
+    fps = 1.0 / best_dt
 
     print(
         json.dumps(

@@ -32,7 +32,12 @@ from sixdpose_tpu.config import DetectorConfig
 from sixdpose_tpu.models.templates import TemplateBank
 from sixdpose_tpu.ops import quantize as Q
 from sixdpose_tpu.ops.spread import spread_orientations, compute_response_maps
-from sixdpose_tpu.ops.similarity import similarity_dense, similarity_local, score_normalize
+from sixdpose_tpu.ops.similarity import (
+    score_normalize,
+    similarity_dense,
+    similarity_local,
+    similarity_local_sparse_auto,
+)
 from sixdpose_tpu.ops.topk_nms import topk_candidates, nms_boxes
 
 
@@ -61,6 +66,8 @@ def _match_class(
     t_at_level: Tuple[int, ...],
     threshold: float,
     top_k: int,
+    feats: Optional[Tuple[jnp.ndarray, ...]] = None,
+    valids: Optional[Tuple[jnp.ndarray, ...]] = None,
 ):
     """Score one class against a response pyramid.
 
@@ -103,8 +110,18 @@ def _match_class(
         og_y = jnp.maximum(y // t - 8, 0)
         origins = jnp.stack([og_y * t, og_x * t], axis=1)
 
-        kern_sel = kernels[l][tid]
-        raw_local = similarity_local(response_pyramid[l], kern_sel, origins, t)
+        # Refinement path selection (static, by kernel area): the grouped
+        # conv wins for small templates; for large kernel areas its groups
+        # are matrix-vector products and the feature-sparse path (Pallas
+        # DMA kernel on TPU) wins by an order of magnitude.
+        area = kernels[l].shape[1] * kernels[l].shape[2] * kernels[l].shape[3]
+        if feats is not None and area > 16 * 96 * 96:
+            raw_local, _ = similarity_local_sparse_auto(
+                response_pyramid[l], feats[l][tid], valids[l][tid], origins, t
+            )
+        else:
+            kern_sel = kernels[l][tid]
+            raw_local = similarity_local(response_pyramid[l], kern_sel, origins, t)
         local_scores = score_normalize(raw_local, nfeats[l][tid])
         flat = local_scores.reshape(local_scores.shape[0], -1)
         best = jnp.argmax(flat, axis=1)  # first max wins, like cpp:1913-1926
@@ -165,6 +182,8 @@ def detect_frame_core(
     cfg: DetectorConfig,
     threshold: float,
     apply_nms: bool = True,
+    feats: Optional[Tuple[jnp.ndarray, ...]] = None,
+    valids: Optional[Tuple[jnp.ndarray, ...]] = None,
 ):
     """Traceable detection step (no jit wrapper): quantize -> spread ->
     response -> dense similarity -> pyramid refine -> NMS.  Call this from
@@ -175,7 +194,8 @@ def detect_frame_core(
     """
     pyramid = _build_response_pyramid_jax(rgb, depth, cfg)
     tid, x, y, score = _match_class(
-        pyramid, kernels, nfeats, whs, tuple(cfg.t_at_level), threshold, cfg.top_k
+        pyramid, kernels, nfeats, whs, tuple(cfg.t_at_level), threshold,
+        cfg.top_k, feats, valids,
     )
     order = jnp.argsort(-score)
     tid, x, y, score = tid[order], x[order], y[order], score[order]
@@ -198,6 +218,8 @@ def detect_frame(
     cfg: DetectorConfig,
     threshold: float,
     apply_nms: bool = True,
+    feats: Optional[Tuple[jnp.ndarray, ...]] = None,
+    valids: Optional[Tuple[jnp.ndarray, ...]] = None,
 ):
     """One fused detection step as a SINGLE compiled program — one device
     dispatch per frame (north-star requirement that detect(+refine) be one
@@ -205,7 +227,7 @@ def detect_frame(
     off the critical path: measured 0.14 ms/frame pipelined on one
     TPU v5e for case1 VGA, 89 templates x 2 modalities)."""
     return detect_frame_core(
-        rgb, depth, kernels, nfeats, whs, cfg, threshold, apply_nms
+        rgb, depth, kernels, nfeats, whs, cfg, threshold, apply_nms, feats, valids
     )
 
 
@@ -221,6 +243,7 @@ class Detector:
         self.cfg = cfg or DetectorConfig()
         self.bank = TemplateBank(self.cfg)
         self._device_bank: Dict[str, tuple] = {}
+        self._device_feats: Dict[str, tuple] = {}
 
     def device_bank(self, class_id: str) -> tuple:
         """Per-level (kernels, nfeat, wh) tuples as device arrays, cached."""
@@ -230,6 +253,10 @@ class Detector:
                 tuple(jnp.asarray(b.kernels) for b in bl),
                 tuple(jnp.asarray(b.nfeat) for b in bl),
                 tuple(jnp.asarray(b.wh) for b in bl),
+            )
+            self._device_feats[class_id] = (
+                tuple(jnp.asarray(b.feats) for b in bl),
+                tuple(jnp.asarray(b.valid) for b in bl),
             )
         return self._device_bank[class_id]
 
@@ -244,6 +271,7 @@ class Detector:
         info: Optional[dict] = None,
     ) -> int:
         self._device_bank.pop(class_id, None)
+        self._device_feats.pop(class_id, None)
         return self.bank.add_template(class_id, rgb, depth, mask, info)
 
     # -- inference ----------------------------------------------------------
@@ -274,6 +302,7 @@ class Detector:
         """One fused-dispatch detection for one class; returns device arrays
         (tid, x, y, score, keep).  Use this from jit-composed pipelines."""
         kernels, nfeats, whs = self.device_bank(class_id)
+        feats, valids = self._device_feats[class_id]
         return detect_frame(
             jnp.asarray(rgb) if rgb is not None else None,
             jnp.asarray(depth) if depth is not None else None,
@@ -283,6 +312,8 @@ class Detector:
             self.cfg,
             float(threshold),
             apply_nms,
+            feats,
+            valids,
         )
 
     def match(

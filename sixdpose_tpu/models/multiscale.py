@@ -40,8 +40,10 @@ from sixdpose_tpu.ops.similarity import (
     count_kernel_features,
     score_normalize,
     similarity_dense,
+    similarity_dense_pre_s2d,
     similarity_local,
     similarity_local_sparse,
+    similarity_local_sparse_auto,
 )
 from sixdpose_tpu.ops.topk_nms import nms_boxes, topk_candidates
 
@@ -77,10 +79,10 @@ def _multiscale_detect(
     Args:
       feats/valids/whs: per-level padded feature arrays ((N, F, 3), (N, F),
         (N, 2)).
-      coarse_kernels: (NB, N, C, khc, kwc) int8 kernels prebuilt per depth
-        bin (runtime selection is a gather, not a scatter build — the
-        reference's "different scales as different objs" final design,
-        notes.md:58-63).
+      coarse_kernels: (NB, N, C*t*t, khc/t, kwc/t) int8 kernels prebuilt
+        per depth bin in s2d layout (runtime selection is a contiguous
+        slice, not a scatter build — the reference's "different scales as
+        different objs" final design, notes.md:58-63).
       coarse_nfeat: (NB, N) int32.
       bin_scales: (NB,) float32 feature scale per depth bin.
       kdims: per-level static (kh, kw) covering the largest allowed scale
@@ -101,7 +103,6 @@ def _multiscale_detect(
     scales = jnp.where(valid_scale, bin_scales[bin_idx], 0.0)
 
     # --- coarse level: one conv over all (scale, template) pairs ---
-    kh_c, kw_c = coarse_kernels.shape[-2:]
     # Per-bin dynamic slices instead of a fancy-index gather: each bin is
     # one contiguous block, and XLA's slice path moves it at full HBM
     # bandwidth (measured 17.6 ms -> 2.0 ms for 5 x 45 MB bins).
@@ -113,7 +114,7 @@ def _multiscale_detect(
         axis=0,
     )
     nfeat_c = coarse_nfeat[bin_idx].reshape(s * n)
-    raw = similarity_dense(pyramid[coarse], kern_c, t_c)
+    raw = similarity_dense_pre_s2d(pyramid[coarse], kern_c, t_c)
     scores = score_normalize(raw, jnp.maximum(nfeat_c, 1))
     # Mask empty kernels and invalid scale proposals.
     ok = (nfeat_c > 0) & jnp.repeat(valid_scale, n)
@@ -144,7 +145,7 @@ def _multiscale_detect(
         og_y = jnp.maximum(y // t - 8, 0)
         origins = jnp.stack([og_y * t, og_x * t], axis=1)
 
-        raw_local, nf_sel = similarity_local_sparse(
+        raw_local, nf_sel = similarity_local_sparse_auto(
             pyramid[l],
             feats[l][tmpl_idx],
             valids[l][tmpl_idx],
@@ -231,24 +232,32 @@ class MultiScaleDetector:
                 kw = int(np.ceil((wh[:, 0].max() + 1) * self.max_scale))
                 kdims.append((kh, kw))
 
-            # Prebuild coarse-level kernels once per discrete depth bin
-            # (host numpy scatter; runtime scale selection is a gather).
+            # Prebuild coarse-level kernels once per discrete depth bin,
+            # already in space-to-depth layout (the on-device transpose of
+            # the gathered stack cost ~20 ms/frame); runtime selection is
+            # a contiguous dynamic slice.
+            from sixdpose_tpu.ops.similarity import s2d_kernels_host
+
             coarse = levels - 1
+            t_c = self.cfg.t_at_level[coarse]
             kh_c, kw_c = kdims[coarse]
             num_channels = 8 * self.cfg.num_modalities
             fa = np.asarray(feats[coarse])
             va = np.asarray(valids[coarse])
             nb = len(self.bin_scales)
-            ck = np.zeros((nb, n, num_channels, kh_c, kw_c), np.int8)
+            ck_list = []
             cn = np.zeros((nb, n), np.int32)
             for b, sc in enumerate(self.bin_scales):
+                kb = np.zeros((n, num_channels, kh_c, kw_c), np.int8)
                 xs = np.round(fa[..., 0] * sc).astype(np.int64)
                 ys = np.round(fa[..., 1] * sc).astype(np.int64)
                 cs = fa[..., 2]
                 ok = va & (xs >= 0) & (xs < kw_c) & (ys >= 0) & (ys < kh_c)
                 tidx = np.broadcast_to(np.arange(n)[:, None], xs.shape)
-                np.add.at(ck[b], (tidx[ok], cs[ok], ys[ok], xs[ok]), 1)
-                cn[b] = ck[b].reshape(n, -1).sum(1)
+                np.add.at(kb, (tidx[ok], cs[ok], ys[ok], xs[ok]), 1)
+                cn[b] = kb.reshape(n, -1).sum(1)
+                ck_list.append(s2d_kernels_host(kb, t_c))
+            ck = np.stack(ck_list)
             self._arrays[class_id] = (
                 tuple(feats),
                 tuple(valids),

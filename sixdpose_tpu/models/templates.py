@@ -301,11 +301,15 @@ class BankLevel:
     kernels: (N, C, KH, KW) int8 one-hot conv kernels.
     nfeat:   (N,) int32 total feature count (for score normalization).
     wh:      (N, 2) int32 template (width, height) at this level.
+    feats:   (N, F, 3) int32 padded (x, y, channel) feature lists.
+    valid:   (N, F) bool.
     """
 
     kernels: np.ndarray
     nfeat: np.ndarray
     wh: np.ndarray
+    feats: np.ndarray
+    valid: np.ndarray
 
 
 class TemplateBank:
@@ -386,7 +390,15 @@ class TemplateBank:
                 nfeat[i] = len(f)
                 wh[i] = (t[l].width, t[l].height)
             kern = build_template_kernels(feats, valid, kh, kw, num_channels)
-            out.append(BankLevel(kernels=kern, nfeat=nfeat, wh=wh))
+            out.append(
+                BankLevel(
+                    kernels=kern,
+                    nfeat=nfeat,
+                    wh=wh,
+                    feats=feats.astype(np.int32),
+                    valid=valid,
+                )
+            )
         return out
 
     # -- persistence --------------------------------------------------------

@@ -143,6 +143,37 @@ def _s2d_kernels(kernels: jnp.ndarray, t: int) -> jnp.ndarray:
     return k.reshape(n, c * t * t, khp // t, kwp // t)
 
 
+def s2d_kernels_host(kernels: np.ndarray, t: int) -> np.ndarray:
+    """Host-side space-to-depth of a kernel stack (same layout as
+    ``_s2d_kernels``), for prebuilding match-time kernel tables — the
+    on-device transpose of a multi-hundred-MB stack costs ~20 ms/frame."""
+    n, c, kh, kw = kernels.shape
+    khp, kwp = _ceil_to(kh, t), _ceil_to(kw, t)
+    k = np.zeros((n, c, khp, kwp), kernels.dtype)
+    k[:, :, :kh, :kw] = kernels
+    k = k.reshape(n, c, khp // t, t, kwp // t, t)
+    k = k.transpose(0, 1, 3, 5, 2, 4)
+    return np.ascontiguousarray(k.reshape(n, c * t * t, khp // t, kwp // t))
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def similarity_dense_pre_s2d(
+    response_maps: jnp.ndarray, kernels_s2d: jnp.ndarray, t: int
+) -> jnp.ndarray:
+    """similarity_dense for kernels already in s2d layout
+    ((N, C*t*t, KH/t, KW/t), see ``s2d_kernels_host``)."""
+    lhs = _s2d_maps(response_maps, t)[None].astype(jnp.bfloat16)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        kernels_s2d.astype(jnp.bfloat16),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0]
+
+
 @functools.partial(jax.jit, static_argnames=("t",))
 def similarity_dense(
     response_maps: jnp.ndarray, kernels: jnp.ndarray, t: int
@@ -305,6 +336,26 @@ def similarity_local_sparse(
         sc_arg = scale
     scores, counts = jax.vmap(per_candidate)(feats_sel, valid_sel, origins, sc_arg)
     return scores, counts.astype(jnp.int32)
+
+
+def similarity_local_sparse_auto(
+    response_maps, feats_sel, valid_sel, origins, t, window: int = 16, scale=None
+):
+    """Backend dispatch for the sparse local refinement: the Pallas
+    double-buffered DMA kernel on TPU (6.4x the XLA gather lowering,
+    bit-exact — tests/test_pallas.py), the XLA version elsewhere."""
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon"):
+        from sixdpose_tpu.ops.pallas.local_refine import (
+            similarity_local_sparse_pallas,
+        )
+
+        return similarity_local_sparse_pallas(
+            response_maps, feats_sel, valid_sel, origins, t, window, scale
+        )
+    return similarity_local_sparse(
+        response_maps, feats_sel, valid_sel, origins, t, window, scale
+    )
 
 
 def score_normalize(raw: jnp.ndarray, nfeat: jnp.ndarray) -> jnp.ndarray:
