@@ -144,9 +144,46 @@ def get_dataset_params(
     cam_path = p["cam_params_path"]
     if os.path.exists(cam_path):
         p["cam"] = load_cam_params(cam_path)
+    elif (name, cam_type or "") in _BUILTIN_CAMS:
+        p["cam"] = _cam_from_dict(_BUILTIN_CAMS[(name, cam_type or "")])
+    elif name in _BUILTIN_DEFAULT_CAM:
+        p["cam"] = _cam_from_dict(_BUILTIN_DEFAULT_CAM[name])
     else:
         p["cam"] = None
     return p
+
+
+# Built-in sensor intrinsics for when the dataset's camera.yml is absent
+# (values from the dataset toolkits; t_less_toolkit/cam/*.yml for T-LESS,
+# the standard Kinect-style calibration used by the SIXD hinterstoisser
+# set otherwise).
+_BUILTIN_CAMS = {
+    ("tless", "primesense"): dict(
+        fx=1075.65091572, fy=1073.90347929, cx=641.068883438, cy=507.72159802,
+        width=1280, height=1024, depth_scale=0.1,
+    ),
+    ("tless", "kinect"): dict(
+        fx=1076.74064739, fy=1075.17825536, cx=641.068883438, cy=507.72159802,
+        width=1280, height=1024, depth_scale=0.1,
+    ),
+}
+_BUILTIN_DEFAULT_CAM = {
+    "hinterstoisser": dict(
+        fx=572.4114, fy=573.57043, cx=325.2611, cy=242.04899,
+        width=640, height=480, depth_scale=1.0,
+    ),
+    "tless": _BUILTIN_CAMS[("tless", "primesense")],
+}
+
+
+def _cam_from_dict(c: dict) -> dict:
+    return {
+        "im_size": (c["width"], c["height"]),
+        "K": np.array(
+            [[c["fx"], 0.0, c["cx"]], [0.0, c["fy"], c["cy"]], [0.0, 0.0, 1.0]]
+        ),
+        "depth_scale": float(c.get("depth_scale", 1.0)),
+    }
 
 
 def load_cam_params(path: str) -> dict:

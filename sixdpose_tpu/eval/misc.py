@@ -69,3 +69,34 @@ def model_diameter(pts: np.ndarray, chunk: int = 2048) -> float:
 
 def transform_pts_Rt(pts, R, t):
     return np.asarray(pts) @ np.asarray(R).T + np.asarray(t).reshape(1, 3)
+
+
+def norm_depth(depth, valid_start: float = 0.2, valid_end: float = 1.0):
+    """Normalize nonzero depth into [valid_start, valid_end] for display
+    (misc.py:35-42)."""
+    d = np.asarray(depth, np.float64).copy()
+    m = d > 0
+    if m.any():
+        d[m] -= d[m].min()
+        mx = d[m].max()
+        if mx > 0:
+            d[m] *= (valid_end - valid_start) / mx
+        d[m] += valid_start
+    return d
+
+
+def crop_im(im, roi):
+    """Crop [x, y, w, h] (inclusive like the reference, misc.py:97-106)."""
+    im = np.asarray(im)
+    y0, y1 = max(roi[1], 0), min(roi[1] + roi[3] + 1, im.shape[0])
+    x0, x1 = max(roi[0], 0), min(roi[0] + roi[2] + 1, im.shape[1])
+    return im[y0:y1, x0:x1]
+
+
+def paste_im(src, trg, pos):
+    """Paste src into trg at (x, y) with clipping (misc.py paste_im)."""
+    x, y = pos
+    h = min(src.shape[0], trg.shape[0] - y)
+    w = min(src.shape[1], trg.shape[1] - x)
+    trg[y : y + h, x : x + w] = src[:h, :w]
+    return trg

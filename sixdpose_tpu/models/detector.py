@@ -244,6 +244,7 @@ class Detector:
         self.bank = TemplateBank(self.cfg)
         self._device_bank: Dict[str, tuple] = {}
         self._device_feats: Dict[str, tuple] = {}
+        self._batch_fns: Dict[tuple, object] = {}
 
     def device_bank(self, class_id: str) -> tuple:
         """Per-level (kernels, nfeat, wh) tuples as device arrays, cached."""
@@ -272,6 +273,7 @@ class Detector:
     ) -> int:
         self._device_bank.pop(class_id, None)
         self._device_feats.pop(class_id, None)
+        self._batch_fns = {k: v for k, v in self._batch_fns.items() if k[0] != class_id}
         return self.bank.add_template(class_id, rgb, depth, mask, info)
 
     # -- inference ----------------------------------------------------------
@@ -315,6 +317,40 @@ class Detector:
             feats,
             valids,
         )
+
+    def match_batch_arrays(
+        self,
+        rgb_batch,
+        depth_batch,
+        threshold: float,
+        class_id: str,
+        apply_nms: bool = True,
+    ):
+        """Fused detection over a BATCH of frames in one dispatch (vmap of
+        the single-frame program; no reference analog — the reference
+        loops frames in Python, linemod_and_levelup_test.py:309).
+
+        Returns (tid, x, y, score, keep): (B, K) device arrays.
+        """
+        key = (class_id, float(threshold), bool(apply_nms))
+        if key not in self._batch_fns:
+            kernels, nfeats, whs = self.device_bank(class_id)
+            feats, valids = self._device_feats[class_id]
+
+            def one(r, d):
+                return detect_frame_core(
+                    r, d, kernels, nfeats, whs, self.cfg,
+                    float(threshold), apply_nms, feats, valids,
+                )
+
+            self._batch_fns[key] = jax.jit(jax.vmap(one))
+        rgb_b = jnp.asarray(rgb_batch)
+        dep_b = (
+            jnp.asarray(depth_batch)
+            if depth_batch is not None
+            else jnp.zeros(rgb_b.shape[:3], jnp.uint16)
+        )
+        return self._batch_fns[key](rgb_b, dep_b)
 
     def match(
         self,

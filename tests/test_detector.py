@@ -142,3 +142,31 @@ def test_case1_golden():
     # Golden: x=327, y=127 (test.cpp:76-88).
     assert abs(m.x - 327) <= 8
     assert abs(m.y - 127) <= 8
+
+
+def test_match_batch(small_cfg):
+    import jax
+
+    obj, mask = _make_object()
+    train = np.zeros((96, 128, 3), np.uint8)
+    train[24:72, 40:88] = obj
+    train_mask = np.zeros((96, 128), np.uint8)
+    train_mask[24:72, 40:88] = mask
+    det = Detector(small_cfg)
+    det.add_template("obj", train, None, train_mask)
+
+    scenes = np.zeros((3, 96, 128, 3), np.uint8)
+    positions = [(64, 32), (16, 40), (40, 8)]
+    for i, (ox, oy) in enumerate(positions):
+        scenes[i, oy : oy + 48, ox : ox + 48] = obj
+
+    tid, x, y, score, keep = jax.device_get(
+        det.match_batch_arrays(scenes, None, 60.0, "obj")
+    )
+    assert tid.shape == (3, small_cfg.top_k)
+    for i in range(3):
+        single = det.match(scenes[i], None, threshold=60.0)
+        assert single
+        assert score[i, 0] >= 0
+        assert (int(x[i, 0]), int(y[i, 0])) == (single[0].x, single[0].y)
+        assert abs(float(score[i, 0]) - single[0].similarity) < 1e-3
