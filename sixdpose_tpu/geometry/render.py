@@ -295,13 +295,39 @@ def render(
     clip_far: float = 10000.0,
     mode: str = "depth",
     tile_px: int = 16,
+    ssaa: int = 1,
 ):
     """Reference-compatible entry (pysixd/renderer.py render:306).
 
     model: dict with 'pts' (mm) and 'faces'; 'colors' optional for rgb.
     Returns depth (H, W) float32 mm for mode='depth', (rgb, depth) for
-    'rgb+depth', rgb for 'rgb'.
+    'rgb+depth', rgb for 'rgb'.  ``ssaa`` supersamples the RGB render
+    (the reference renders templates at 4x and downsamples,
+    renderer.py surface_color / linemod_and_levelup_test.py:233).
     """
+    if ssaa > 1 and mode in ("rgb", "rgb+depth"):
+        w, h = im_size
+        Ks = np.asarray(K, np.float64) * 1.0
+        Ks = Ks.copy()
+        Ks[0] *= ssaa
+        Ks[1] *= ssaa
+        Ks[2, 2] = 1.0
+        out = render(
+            model, (w * ssaa, h * ssaa), Ks, R, t,
+            clip_near, clip_far, mode, tile_px, ssaa=1,
+        )
+        rgb_hi, depth_hi = out if mode == "rgb+depth" else (out, None)
+        rgb_np = np.asarray(rgb_hi, np.float32)
+        rgb_lo = rgb_np.reshape(h, ssaa, w, ssaa, 3).mean((1, 3)).astype(np.uint8)
+        if mode == "rgb":
+            return rgb_lo
+        depth_np = np.asarray(depth_hi)
+        depth_lo = depth_np.reshape(h, ssaa, w, ssaa)
+        # depth: take the nearest valid sample per cell (mean would blur
+        # edges into false depths).
+        dval = np.where(depth_lo > 0, depth_lo, np.inf).min((1, 3))
+        depth_lo = np.where(np.isfinite(dval), dval, 0.0).astype(np.float32)
+        return rgb_lo, depth_lo
     pts_np = np.asarray(model["pts"], np.float64)
     faces_np = np.asarray(model["faces"], np.int64)
     colors_np = model.get("colors")

@@ -39,6 +39,55 @@ class LchfModel:
     def leaf_feats_map(self):
         return self.forest.leaf_feats_map()
 
+    # -- persistence (replaces the reference's protobuf triple
+    #    forests/features/infos, forest.cpp:30-129) ----------------------
+
+    def save(self, prefix: str) -> None:
+        """Write <prefix>.forest.npz and <prefix>.patches.npz."""
+        self.forest.save(prefix + ".forest.npz")
+        payload = {
+            "rpy": self.rpy,
+            "t": self.t,
+            "set_responses": self.patch_set.responses,
+            "set_zavg": self.patch_set.z_avg,
+            "set_center": self.patch_set.center,
+        }
+        for i, p in enumerate(self.patches):
+            payload[f"p{i}|features"] = p.features
+            payload[f"p{i}|z_rel"] = p.z_rel
+            payload[f"p{i}|meta"] = np.array(
+                [p.center_dep, p.shape[0], p.shape[1]], np.float64
+            )
+        np.savez_compressed(prefix + ".patches.npz", **payload)
+
+    @classmethod
+    def load(cls, prefix: str) -> "LchfModel":
+        forest = Forest.load(prefix + ".forest.npz")
+        with np.load(prefix + ".patches.npz") as z:
+            pset = PatchSet(z["set_responses"], z["set_zavg"], z["set_center"])
+            patches: List[PatchFeature] = []
+            i = 0
+            while f"p{i}|features" in z:
+                meta = z[f"p{i}|meta"]
+                patches.append(
+                    PatchFeature(
+                        features=z[f"p{i}|features"],
+                        z_rel=z[f"p{i}|z_rel"],
+                        center_dep=float(meta[0]),
+                        responses=None,
+                        z_avg=None,
+                        shape=(int(meta[1]), int(meta[2])),
+                    )
+                )
+                i += 1
+            return cls(
+                forest=forest,
+                patches=patches,
+                patch_set=pset,
+                rpy=z["rpy"],
+                t=z["t"],
+            )
+
 
 def make_training_patches(
     rgb: np.ndarray,

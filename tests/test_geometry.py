@@ -167,3 +167,16 @@ def test_icp_recovers_translation():
     c = mp[mv].mean(0)
     moved = Tr[:3, :3] @ c + Tr[:3, 3]
     assert np.allclose((moved - c) * 1000, [6.0, -4.0, 3.0], atol=1.5)
+
+
+def test_render_ssaa():
+    pts, faces = _sphere_mesh()
+    K = np.array([[572.4, 0, 320], [0, 573.6, 240], [0, 0, 1]])
+    model = {"pts": pts, "faces": faces}
+    rgb, depth = render(model, (160, 120), K * np.diag([0.25, 0.25, 1]) + 0,
+                        np.eye(3), [0, 0, 600.0], mode="rgb+depth", ssaa=2)
+    assert rgb.shape == (120, 160, 3)
+    assert depth.shape == (120, 160)
+    nz = depth > 0
+    assert nz.any()
+    assert abs(depth[nz].min() - 560.0) < 3.0

@@ -192,3 +192,23 @@ def test_end_to_end_vote_peak():
     top_xy = bins[:3, :2] * 10
     d = np.linalg.norm(top_xy - np.array([90, 80]), axis=1)
     assert d.min() < 25.0, (bins[:3], scores[:3])
+
+
+def test_lchf_model_save_load(tmp_path):
+    """Full model persistence roundtrip (replaces the reference's
+    protobuf forests/features/infos triple)."""
+    from sixdpose_tpu.lchf.model import LchfModel
+
+    rgb, depth = _patch_pair()
+    cfg = LchfConfig(num_features=8, extract_threshold=1)
+    f = extract_patch_feature(rgb, depth, None, cfg, with_responses=True)
+    assert f is not None
+    model = train_forest([f, f], np.zeros((2, 3)), np.zeros((2, 3)), cfg,
+                         num_trees=1, size_thresh=1)
+    prefix = str(tmp_path / "lchf")
+    model.save(prefix)
+    back = LchfModel.load(prefix)
+    assert len(back.patches) == 2
+    assert (back.patch_set.responses == model.patch_set.responses).all()
+    assert back.patches[0].center_dep == model.patches[0].center_dep
+    assert len(back.forest.trees) == 1
