@@ -161,17 +161,21 @@ def similarity_dense_pre_s2d(
     response_maps: jnp.ndarray, kernels_s2d: jnp.ndarray, t: int
 ) -> jnp.ndarray:
     """similarity_dense for kernels already in s2d layout
-    ((N, C*t*t, KH/t, KW/t), see ``s2d_kernels_host``)."""
-    lhs = _s2d_maps(response_maps, t)[None].astype(jnp.bfloat16)
+    ((N, C*t*t, KH/t, KW/t), see ``s2d_kernels_host``).
+
+    Runs the conv natively in int8 with int32 accumulation (responses are
+    0..4, kernels small counts — exact, and skips a multi-hundred-MB bf16
+    cast of the kernel stack)."""
+    lhs = _s2d_maps(response_maps, t)[None].astype(jnp.int8)
     out = jax.lax.conv_general_dilated(
         lhs,
-        kernels_s2d.astype(jnp.bfloat16),
+        kernels_s2d.astype(jnp.int8),
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )
-    return out[0]
+    return out[0].astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("t",))
@@ -196,17 +200,19 @@ def similarity_dense(
       (N, H_out, W_out) float32 raw scores with H_out = H//t - ceil(KH/t) + 1;
       placement (y, x) is the template origin at pixel (y*t, x*t).
     """
-    lhs = _s2d_maps(response_maps, t)[None].astype(jnp.bfloat16)
-    rhs = _s2d_kernels(kernels, t).astype(jnp.bfloat16)
+    lhs = _s2d_maps(response_maps, t)[None].astype(jnp.int8)
+    rhs = _s2d_kernels(kernels, t).astype(jnp.int8)
+    # Native int8 conv with int32 accumulation: responses are 0..4 and
+    # kernels small counts, so this is exact and skips the bf16 casts.
     out = jax.lax.conv_general_dilated(
         lhs,
         rhs,
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )
-    return out[0]
+    return out[0].astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("t", "window"))
