@@ -187,6 +187,31 @@ def render_depth(
 
 
 @functools.partial(jax.jit, static_argnames=("im_size", "tile_px", "chunk"))
+def render_depth_batch(
+    pts: jnp.ndarray,
+    faces: jnp.ndarray,
+    K: jnp.ndarray,
+    Rs: jnp.ndarray,
+    ts: jnp.ndarray,
+    im_size: Tuple[int, int],
+    clip_near: float = 100.0,
+    clip_far: float = 10000.0,
+    tile_px: int = 16,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Render a BATCH of poses of one mesh in a single dispatch
+    (vmap over render_depth; the reference renders views serially through
+    an OpenGL window per call, renderer.py:386-407).
+
+    Rs: (B, 3, 3); ts: (B, 3).  Returns (B, H, W) float32 depth (mm).
+    """
+    fn = lambda R, t: render_depth(
+        pts, faces, K, R, t, im_size, clip_near, clip_far, tile_px, chunk
+    )
+    return jax.vmap(fn)(Rs, ts)
+
+
+@functools.partial(jax.jit, static_argnames=("im_size", "tile_px", "chunk"))
 def render_rgb_depth(
     pts: jnp.ndarray,
     faces: jnp.ndarray,

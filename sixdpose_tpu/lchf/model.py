@@ -190,13 +190,21 @@ def predict_scene(
     model: LchfModel,
     roi_set: PatchSet,
     cfg: LchfConfig = LchfConfig(),
+    device: bool = False,
 ) -> List[List[int]]:
     """Leaf id per (roi, tree) (lchf_model_predict, forest.cpp:20-28).
 
     ROIs traverse each tree level-synchronously so every node's pivot
     similarity is computed for its whole cohort in one vectorized call.
+    ``device=True`` stages the ROI set on the accelerator and evaluates
+    each cohort with one jit call (lchf/device.py).
     """
     m = roi_set.responses.shape[0]
+    dset = None
+    if device:
+        from sixdpose_tpu.lchf.device import DeviceRoiSet
+
+        dset = DeviceRoiSet(roi_set, model.patches, cfg.z_check)
     out = np.zeros((m, len(model.forest.trees)), np.int64)
     for ti, tree in enumerate(model.forest.trees):
         cohort = {0: np.arange(m)}
@@ -208,9 +216,12 @@ def predict_scene(
                 if node.isleafnode:
                     leaves[idxs] = nid
                     continue
-                sims = similarity_one_to_many(
-                    model.patches[node.split_feat_idx], roi_set, idxs, cfg.z_check
-                )
+                if dset is not None:
+                    sims = dset.sim_rows(node.split_feat_idx, idxs)
+                else:
+                    sims = similarity_one_to_many(
+                        model.patches[node.split_feat_idx], roi_set, idxs, cfg.z_check
+                    )
                 go_left = sims <= node.simi_thresh
                 li, ri = node.cnodes
                 if go_left.any():

@@ -49,6 +49,11 @@ def render_train_templates(
     Returns stats: {'added': n_ok, 'failed': n_fail} (the reference skips
     views whose extraction fails, linemod_and_levelup_test.py:155).
     """
+    import jax
+    import jax.numpy as jnp
+
+    from sixdpose_tpu.geometry.render import render_rgb_depth, subdivide_mesh
+
     added = failed = 0
     for radius in radii:
         views, _levels = sample_views(
@@ -59,12 +64,68 @@ def render_train_templates(
             tilt_range=tilt_range,
             tilt_step=tilt_step,
         )
+
+        # Pre-subdivide once for this radius so the batched renderer's
+        # fixed tile covers every projected triangle.
+        pts_np = np.asarray(model["pts"], np.float64)
+        faces_np = np.asarray(model["faces"], np.int64)
+        colors_np = (
+            np.asarray(model.get("colors"), np.float64)
+            if model.get("colors") is not None
+            else np.full((len(pts_np), 3), 127.0)
+        )
+        extent = float(np.linalg.norm(pts_np, axis=1).max())
+        z_min = max(float(radius) - extent, 50.0)
+        ppm = max(K[0][0], K[1][1]) / z_min
+        tri = pts_np[faces_np]
+        edge_max = float(
+            max(
+                np.linalg.norm(tri[:, 0] - tri[:, 1], axis=1).max(),
+                np.linalg.norm(tri[:, 1] - tri[:, 2], axis=1).max(),
+                np.linalg.norm(tri[:, 2] - tri[:, 0], axis=1).max(),
+            )
+        )
+        if edge_max * ppm > 14:
+            pts_np, faces_np, colors_np = subdivide_mesh(
+                pts_np, faces_np, max_edge=14.0 / ppm, attrs=colors_np
+            )
+        ptsj = jnp.asarray(pts_np.astype(np.float32))
+        facesj = jnp.asarray(faces_np.astype(np.int32))
+        colj = jnp.asarray((colors_np / 255.0).astype(np.float32))
+        Kj = jnp.asarray(np.asarray(K, np.float32))
+
+        # Render views in device batches (one dispatch per chunk).
+        batch = 16
+        batch_render = jax.jit(
+            jax.vmap(
+                lambda R, t: render_rgb_depth(
+                    ptsj, facesj, colj, Kj, R, t, tuple(im_size)
+                )
+            )
+        )
+        rendered = {}
+        for b0 in range(0, len(views), batch):
+            vs = views[b0 : b0 + batch]
+            Rs = jnp.asarray(
+                np.stack([v["R"] for v in vs]).astype(np.float32)
+            )
+            ts = jnp.asarray(
+                np.stack([v["t"].flatten() for v in vs]).astype(np.float32)
+            )
+            pad = batch - len(vs)
+            if pad:
+                Rs = jnp.concatenate([Rs, jnp.tile(Rs[-1:], (pad, 1, 1))])
+                ts = jnp.concatenate([ts, jnp.tile(ts[-1:], (pad, 1))])
+            rgb_b, dep_b = batch_render(Rs, ts)
+            rgb_b = np.asarray(rgb_b)
+            dep_b = np.asarray(dep_b)
+            for j in range(len(vs)):
+                rendered[b0 + j] = (rgb_b[j], dep_b[j])
+
         for vi, view in enumerate(views):
             R = view["R"]
             t = view["t"]
-            rgb, depth = render(model, im_size, K, R, t, mode="rgb+depth")
-            rgb = np.asarray(rgb)
-            depth_mm = np.asarray(depth)
+            rgb, depth_mm = rendered[vi]
             mask = (depth_mm > 0).astype(np.uint8) * 255
             if mask.sum() == 0:
                 failed += 1

@@ -212,3 +212,39 @@ def test_lchf_model_save_load(tmp_path):
     assert (back.patch_set.responses == model.patch_set.responses).all()
     assert back.patches[0].center_dep == model.patches[0].center_dep
     assert len(back.forest.trees) == 1
+
+
+def test_predict_scene_device_matches_host():
+    """Device-staged cohort similarity must match the host numpy path."""
+    rng = np.random.default_rng(5)
+    obj = np.zeros((60, 60, 3), np.uint8)
+    yy, xx = np.mgrid[0:60, 0:60]
+    m = ((yy - 30) ** 2 + (xx - 30) ** 2) < 625
+    obj[m] = (180, 90, 40)
+    obj[m & (xx > 30)] = (40, 160, 220)
+    obj_depth = np.where(m, 500 + (xx - 30) * 2, 0).astype(np.uint16)
+
+    train_rgb = np.zeros((120, 140, 3), np.uint8)
+    train_rgb[30:90, 40:100] = obj
+    train_depth = np.zeros((120, 140), np.uint16)
+    train_depth[30:90, 40:100] = obj_depth
+    train_mask = np.zeros((120, 140), np.uint8)
+    train_mask[30:90, 40:100] = m.astype(np.uint8) * 255
+
+    cfg = LchfConfig(num_features=6, extract_threshold=1, strong_threshold=30.0)
+    feats, rpys, ts = make_training_patches(
+        train_rgb, train_depth, train_mask, np.eye(3), cfg, patch=40, stride=12
+    )
+    assert len(feats) >= 3
+    model = train_forest(
+        feats, np.array(rpys), np.array(ts), cfg, num_trees=2, size_thresh=2, seed=1
+    )
+    scene_rgb = np.zeros((120, 140, 3), np.uint8)
+    scene_rgb[50:110, 60:120] = obj
+    scene_depth = np.zeros((120, 140), np.uint16)
+    scene_depth[50:110, 60:120] = obj_depth
+    rois = dense_rois(scene_depth, stride=12, width=40, height=40)
+    roi_set = scene_roi_set(scene_rgb, scene_depth, rois, cfg)
+    host = predict_scene(model, roi_set, cfg, device=False)
+    dev = predict_scene(model, roi_set, cfg, device=True)
+    assert host == dev
