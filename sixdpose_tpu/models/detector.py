@@ -271,10 +271,17 @@ class Detector:
         mask: np.ndarray,
         info: Optional[dict] = None,
     ) -> int:
+        self.invalidate(class_id)
+        return self.bank.add_template(class_id, rgb, depth, mask, info)
+
+    def invalidate(self, class_id: str) -> None:
+        """Drop cached device arrays / compiled closures for a class (call
+        after mutating its bank out-of-band)."""
         self._device_bank.pop(class_id, None)
         self._device_feats.pop(class_id, None)
-        self._batch_fns = {k: v for k, v in self._batch_fns.items() if k[0] != class_id}
-        return self.bank.add_template(class_id, rgb, depth, mask, info)
+        self._batch_fns = {
+            k: v for k, v in self._batch_fns.items() if k[0] != class_id
+        }
 
     # -- inference ----------------------------------------------------------
 

@@ -232,6 +232,54 @@ def crop_template_levels(levels: List[List[Optional[np.ndarray]]]) -> List[Templ
     return out
 
 
+def extract_template_from_quantized(
+    color_levels: Optional[List],
+    depth_levels: Optional[List],
+    mask: np.ndarray,
+    cfg: DetectorConfig,
+) -> Optional[List[TemplateLevel]]:
+    """Extraction from precomputed quantizations (host-only; lets training
+    batch all device work across views).
+
+    color_levels: per level (quantized (H,W) u8, magnitude (H,W) f32).
+    depth_levels: per level quantized normal (H,W) u8.
+    """
+    levels: List[List[Optional[np.ndarray]]] = [[] for _ in cfg.t_at_level]
+
+    if color_levels is not None:
+        cur_mask = mask
+        nf = cfg.color.num_features
+        for l in range(cfg.pyramid_levels):
+            if l > 0:
+                cur_mask = cur_mask[::2, ::2]
+                nf = nf // 2
+            q, mag = color_levels[l]
+            feats = extract_color_features(
+                np.asarray(q), np.asarray(mag), cur_mask, nf, cfg.color.strong_threshold
+            )
+            if feats is None:
+                return None
+            levels[l].append(feats)
+
+    if depth_levels is not None:
+        cur_mask = mask
+        nf = cfg.depth.num_features
+        thr = cfg.depth.extract_threshold
+        for l in range(cfg.pyramid_levels):
+            if l > 0:
+                cur_mask = cur_mask[::2, ::2]
+                nf = nf // 2
+                thr = thr // 2
+            feats = extract_depth_features(
+                np.asarray(depth_levels[l]), cur_mask, nf, max(thr, 1)
+            )
+            if feats is None:
+                return None
+            levels[l].append(feats)
+
+    return crop_template_levels(levels)
+
+
 def extract_template(
     rgb: np.ndarray,
     depth: Optional[np.ndarray],
@@ -246,27 +294,19 @@ def extract_template(
 
     import jax.numpy as jnp
 
-    levels: List[List[Optional[np.ndarray]]] = [[] for _ in cfg.t_at_level]
-
+    color_levels = None
     if cfg.use_color:
+        color_levels = []
         cur_rgb = rgb
-        cur_mask = mask
-        nf = cfg.color.num_features
         for l in range(cfg.pyramid_levels):
             if l > 0:
                 cur_rgb = np.asarray(Q.pyr_down_rgb(jnp.asarray(cur_rgb)))
-                cur_mask = cur_mask[::2, ::2]
-                nf = nf // 2
             q, mag = Q.quantize_color_gradient(
                 jnp.asarray(cur_rgb), cfg.color.weak_threshold
             )
-            feats = extract_color_features(
-                np.asarray(q), np.asarray(mag), cur_mask, nf, cfg.color.strong_threshold
-            )
-            if feats is None:
-                return None
-            levels[l].append(feats)
+            color_levels.append((np.asarray(q), np.asarray(mag)))
 
+    depth_levels = None
     if cfg.use_depth and depth is not None:
         qs = Q.depth_normal_pyramid(
             jnp.asarray(depth),
@@ -275,23 +315,9 @@ def extract_template(
             cfg.depth.difference_threshold,
             cfg.depth.focal,
         )
-        cur_mask = mask
-        nf = cfg.depth.num_features
-        thr = cfg.depth.extract_threshold
-        for l in range(cfg.pyramid_levels):
-            if l > 0:
-                cur_mask = cur_mask[::2, ::2]
-                nf = nf // 2
-                thr = thr // 2
-            feats = extract_depth_features(np.asarray(qs[l]), cur_mask, nf, max(thr, 1))
-            if feats is None:
-                return None
-            levels[l].append(feats)
-    elif cfg.use_color:
-        # keep modality indexing stable: color is modality 0 either way
-        pass
+        depth_levels = [np.asarray(q) for q in qs]
 
-    return crop_template_levels(levels)
+    return extract_template_from_quantized(color_levels, depth_levels, mask, cfg)
 
 
 @dataclasses.dataclass

@@ -94,7 +94,14 @@ def render_train_templates(
         colj = jnp.asarray((colors_np / 255.0).astype(np.float32))
         Kj = jnp.asarray(np.asarray(K, np.float32))
 
-        # Render views in device batches (one dispatch per chunk).
+        # Render + quantize views in device batches (two dispatches per
+        # chunk of 16 views; per-view device round trips through the
+        # extraction path were the training bottleneck).
+        from sixdpose_tpu.models.templates import extract_template_from_quantized
+        from sixdpose_tpu.ops import quantize as Q
+
+        cfg = detector.cfg
+        levels = cfg.pyramid_levels
         batch = 16
         batch_render = jax.jit(
             jax.vmap(
@@ -103,12 +110,36 @@ def render_train_templates(
                 )
             )
         )
-        rendered = {}
+
+        def quantize_one(rgb, dep):
+            color = []
+            if cfg.use_color:
+                cur = rgb
+                for l in range(levels):
+                    if l > 0:
+                        cur = Q.pyr_down_rgb(cur)
+                    color.append(
+                        Q.quantize_color_gradient(cur, cfg.color.weak_threshold)
+                    )
+            dls = (
+                Q.depth_normal_pyramid(
+                    dep,
+                    levels,
+                    cfg.depth.distance_threshold,
+                    cfg.depth.difference_threshold,
+                    cfg.depth.focal,
+                )
+                if cfg.use_depth
+                else []
+            )
+            return tuple(color), tuple(dls)
+
+        batch_quantize = jax.jit(jax.vmap(quantize_one))
+
+        vi = 0
         for b0 in range(0, len(views), batch):
             vs = views[b0 : b0 + batch]
-            Rs = jnp.asarray(
-                np.stack([v["R"] for v in vs]).astype(np.float32)
-            )
+            Rs = jnp.asarray(np.stack([v["R"] for v in vs]).astype(np.float32))
             ts = jnp.asarray(
                 np.stack([v["t"].flatten() for v in vs]).astype(np.float32)
             )
@@ -117,38 +148,49 @@ def render_train_templates(
                 Rs = jnp.concatenate([Rs, jnp.tile(Rs[-1:], (pad, 1, 1))])
                 ts = jnp.concatenate([ts, jnp.tile(ts[-1:], (pad, 1))])
             rgb_b, dep_b = batch_render(Rs, ts)
-            rgb_b = np.asarray(rgb_b)
-            dep_b = np.asarray(dep_b)
-            for j in range(len(vs)):
-                rendered[b0 + j] = (rgb_b[j], dep_b[j])
-
-        for vi, view in enumerate(views):
-            R = view["R"]
-            t = view["t"]
-            rgb, depth_mm = rendered[vi]
-            mask = (depth_mm > 0).astype(np.uint8) * 255
-            if mask.sum() == 0:
-                failed += 1
-                continue
-            info = {
-                "cam_K": np.asarray(K, np.float64),
-                "cam_R_w2c": np.asarray(R, np.float64),
-                "cam_t_w2c": np.asarray(t, np.float64).reshape(3, 1),
-                "radius": float(radius),
-                "view_id": vi,
-            }
-            tid = detector.add_template(
-                class_id,
-                rgb,
-                depth_mm.astype(np.uint16),
-                mask,
-                info=info,
+            color_b, depth_b = batch_quantize(
+                rgb_b, dep_b.astype(jnp.uint16)
             )
-            if tid < 0:
-                failed += 1
-            else:
-                added += 1
-            if verbose and (vi % 50 == 0):
+            rgb_np = np.asarray(rgb_b)
+            dep_np = np.asarray(dep_b)
+            color_np = jax.device_get(color_b)
+            depth_np = jax.device_get(depth_b)
+
+            for j, view in enumerate(vs):
+                depth_mm = dep_np[j]
+                mask = (depth_mm > 0).astype(np.uint8) * 255
+                if mask.sum() == 0:
+                    failed += 1
+                    vi += 1
+                    continue
+                color_levels = (
+                    [(color_np[l][0][j], color_np[l][1][j]) for l in range(levels)]
+                    if cfg.use_color
+                    else None
+                )
+                depth_levels = (
+                    [depth_np[l][j] for l in range(levels)]
+                    if cfg.use_depth
+                    else None
+                )
+                tl = extract_template_from_quantized(
+                    color_levels, depth_levels, mask, cfg
+                )
+                if tl is None:
+                    failed += 1
+                else:
+                    info = {
+                        "cam_K": np.asarray(K, np.float64),
+                        "cam_R_w2c": np.asarray(view["R"], np.float64),
+                        "cam_t_w2c": np.asarray(view["t"], np.float64).reshape(3, 1),
+                        "radius": float(radius),
+                        "view_id": vi,
+                    }
+                    detector.bank.add_template_levels(class_id, tl, info=info)
+                    detector.invalidate(class_id)
+                    added += 1
+                vi += 1
+            if verbose and (b0 // batch) % 4 == 0:
                 print(f"radius {radius}: view {vi}/{len(views)} added={added}")
     return {"added": added, "failed": failed}
 

@@ -135,3 +135,30 @@ def test_tiled_matches_single_device(trained):
         assert int(tid[0]) == top.template_id
         assert (int(x[0]), int(y[0])) == (top.x, top.y)
         assert abs(float(score[0]) - top.similarity) < 1e-3
+
+
+def test_scaling_efficiency_virtual(trained):
+    """Throughput scaling across virtual mesh sizes (north star: >=80%
+    efficiency; on the virtual CPU mesh we only require the harness to
+    report sane numbers and the batch to scale)."""
+    from sixdpose_tpu.parallel import pad_templates, sharded_detect
+    from sixdpose_tpu.parallel.distributed import measure_scaling
+
+    det, scenes = trained
+    cfg = det.cfg
+    kernels, nfeats, whs = det.device_bank("objs")
+
+    def step(mesh, rgb_b):
+        return sharded_detect(mesh, rgb_b, None, kernels, nfeats, whs, cfg, 60.0)
+
+    def args_for(mesh):
+        n = mesh.shape["data"]
+        reps = -(-n * 2 // len(scenes))
+        batch = np.tile(scenes, (reps, 1, 1, 1))[: n * 2]
+        return (jnp.asarray(batch),)
+
+    res = measure_scaling(step, args_for, sizes=[1, 2, 4], iters=2)
+    assert set(res) == {1, 2, 4}
+    for size, r in res.items():
+        assert r["s_per_step"] > 0
+        assert r["efficiency"] > 0
