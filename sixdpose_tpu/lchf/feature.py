@@ -234,7 +234,6 @@ def similarity_one_to_many(a: PatchFeature, others: PatchSet, idx: np.ndarray, z
     x = a.features[:, 0][None, :]  # (1, F)
     y = a.features[:, 1][None, :]
     c = a.features[:, 2][None, :]
-    ratio = (a.center_dep / np.maximum(cj, 1e-6))[:, None]  # (J, 1)
     nx = (x * a.center_dep / np.maximum(cj[:, None], 1e-6)).astype(np.int64)
     ny = (y * a.center_dep / np.maximum(cj[:, None], 1e-6)).astype(np.int64)
     ph, pw = a.shape

@@ -34,13 +34,28 @@ class PoseEstimate:
     R: np.ndarray          # (3, 3)
     t: np.ndarray          # (3, 1) mm
     fitness: float
+    verify: float = -1.0   # depth-consistency of the refined pose
 
 
-def nms_norms(estimates: List[PoseEstimate], radius_mm: float = 40.0) -> List[PoseEstimate]:
+def nms_norms(
+    estimates: List[PoseEstimate],
+    radius_mm: float = 40.0,
+    key: str = "fitness",
+) -> List[PoseEstimate]:
     """Greedy translation-space dedupe (linemod_ros/detect.py:41-50):
-    keep the best-scoring estimate within each ``radius_mm`` ball."""
+    keep the best estimate within each ``radius_mm`` ball.
+
+    ``key``: 'fitness' ranks by ICP fitness (the stronger pose-quality
+    signal after refinement, esp. under occlusion where match similarity
+    is intentionally low with the levelup LUT) or 'similarity'."""
+    keys = {
+        "fitness": lambda e: (-e.fitness, -e.similarity),
+        "similarity": lambda e: (-e.similarity, -e.fitness),
+        "verify": lambda e: (-e.verify, -e.fitness, -e.similarity),
+    }
+    rank = keys[key]
     kept: List[PoseEstimate] = []
-    for e in sorted(estimates, key=lambda e: -e.similarity):
+    for e in sorted(estimates, key=rank):
         if all(np.linalg.norm(e.t - k.t) > radius_mm for k in kept):
             kept.append(e)
     return kept
@@ -59,6 +74,9 @@ class PoseEstimationService:
         icp: Optional[IcpConfig] = None,
         dedupe_radius_mm: float = 40.0,
         min_fitness: float = 0.5,
+        min_verify: float = 0.0,
+        verify_tau: float = 15.0,
+        rank_key: str = "verify",
     ):
         """Args:
         detector: trained detector whose template infos carry the render
@@ -74,6 +92,9 @@ class PoseEstimationService:
         self.icp = icp or IcpConfig()
         self.dedupe_radius_mm = dedupe_radius_mm
         self.min_fitness = min_fitness
+        self.min_verify = min_verify
+        self.verify_tau = verify_tau
+        self.rank_key = rank_key
         self._render_cache: Dict[tuple, np.ndarray] = {}
 
     def _template_render(self, class_id: str, template_id: int, im_size) -> Optional[np.ndarray]:
@@ -176,19 +197,41 @@ class PoseEstimationService:
             base[:3, 3] = np.asarray(info["cam_t_w2c"]).flatten()
             base[2, 3] /= 1000.0  # reference quirk: z mm -> m (cpp:37)
             result = Ts[i] @ base
-            out.append(
-                PoseEstimate(
-                    class_id=m.class_id,
-                    template_id=m.template_id,
-                    x=m.x,
-                    y=m.y,
-                    similarity=m.similarity,
-                    R=result[:3, :3],
-                    t=result[:3, 3:4] * 1000.0,
-                    fitness=float(fits[i]),
-                )
+            est = PoseEstimate(
+                class_id=m.class_id,
+                template_id=m.template_id,
+                x=m.x,
+                y=m.y,
+                similarity=m.similarity,
+                R=result[:3, :3],
+                t=result[:3, 3:4] * 1000.0,
+                fitness=float(fits[i]),
             )
-        return nms_norms(out, self.dedupe_radius_mm)
+            est.verify = self._verify(est, depth)
+            if est.verify < self.min_verify:
+                continue
+            out.append(est)
+        return nms_norms(out, self.dedupe_radius_mm, key=self.rank_key)
+
+    def _verify(self, est: PoseEstimate, depth: np.ndarray) -> float:
+        """Depth-consistency of the refined pose: render the model at the
+        estimate and measure the fraction of rendered pixels whose scene
+        depth agrees within ``verify_tau`` mm.  Discriminates refinements
+        that locked onto a different object's surface (no reference
+        analog; the reference's only post-check is ICP fitness)."""
+        h, w = depth.shape
+        d_est = np.asarray(
+            render(
+                self.models[est.class_id], (w, h), self.K, est.R, est.t,
+                mode="depth",
+            )
+        )
+        m = d_est > 0
+        if not m.any():
+            return 0.0
+        ds = depth[m].astype(np.float32)
+        agree = (np.abs(d_est[m] - ds) < self.verify_tau) & (ds > 0)
+        return float(agree.mean())
 
     def run(
         self,
