@@ -270,6 +270,56 @@ def icp_batch(
     return jax.vmap(fn)(model_pts, model_valid, init_T)
 
 
+@functools.partial(jax.jit, static_argnames=("tau_mm", "cell"))
+def verify_poses(
+    model_pts_mm: jnp.ndarray,   # (N, 3) surface points, model frame, mm
+    Rs: jnp.ndarray,             # (K, 3, 3)
+    ts_mm: jnp.ndarray,          # (K, 3) mm
+    depth_mm: jnp.ndarray,       # (H, W) uint16 scene depth
+    K: jnp.ndarray,              # (3, 3)
+    tau_mm: float = 15.0,
+    cell: int = 4,
+):
+    """Depth-consistency verification of K poses in one dispatch.
+
+    Approximates render-and-compare: project a dense sample of model
+    surface points at each pose, resolve self-occlusion with a coarse
+    per-cell z-buffer (scatter-min over ``cell``-px bins), and score the
+    fraction of front points whose scene depth agrees within ``tau_mm``.
+    ~100x cheaper than rasterizing the mesh per candidate and jit/vmap
+    friendly, so all candidates verify together.
+
+    Returns (K,) float32 scores in [0, 1].
+    """
+    h, w = depth_mm.shape
+    gh, gw = h // cell, w // cell
+    scene = depth_mm.astype(jnp.float32)
+
+    def one(R, t):
+        p = model_pts_mm @ R.T + t
+        z = p[:, 2]
+        u = p[:, 0] / jnp.maximum(z, 1e-6) * K[0, 0] + K[0, 2]
+        v = p[:, 1] / jnp.maximum(z, 1e-6) * K[1, 1] + K[1, 2]
+        inb = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (z > 10.0)
+        gi = jnp.where(
+            inb,
+            (v.astype(jnp.int32) // cell) * gw + (u.astype(jnp.int32) // cell),
+            gh * gw,
+        )
+        zbuf = jnp.full((gh * gw + 1,), jnp.inf, jnp.float32)
+        zbuf = zbuf.at[gi].min(jnp.where(inb, z, jnp.inf))
+        front = inb & (z <= zbuf[gi] + 2.0 * tau_mm)
+        ds = scene[
+            jnp.clip(v.astype(jnp.int32), 0, h - 1),
+            jnp.clip(u.astype(jnp.int32), 0, w - 1),
+        ]
+        agree = front & (ds > 0) & (jnp.abs(ds - z) < tau_mm)
+        nfront = jnp.maximum(jnp.sum(front), 1)
+        return jnp.sum(agree) / nfront
+
+    return jax.vmap(one)(Rs, ts_mm)
+
+
 class PoseRefiner:
     """Drop-in equivalent of the reference ``poseRefine`` pybind class
     (linemodLevelup/pybind11.cpp:29-34): process(...), getR, getT,

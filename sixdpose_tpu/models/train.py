@@ -179,12 +179,26 @@ def render_train_templates(
                 if tl is None:
                     failed += 1
                 else:
+                    # Train-time ICP artifacts: the visible-surface cloud,
+                    # render bbox, and anchor depth, so serving never has
+                    # to re-render templates (serving.py).
+                    from sixdpose_tpu.models.refine import sample_model_points
+
+                    icp_pts, icp_valid = sample_model_points(
+                        depth_mm.astype(np.uint16), np.asarray(K), 512
+                    )
+                    ys_r, xs_r = np.nonzero(depth_mm > 0)
                     info = {
                         "cam_K": np.asarray(K, np.float64),
                         "cam_R_w2c": np.asarray(view["R"], np.float64),
                         "cam_t_w2c": np.asarray(view["t"], np.float64).reshape(3, 1),
                         "radius": float(radius),
                         "view_id": vi,
+                        "icp_points": icp_pts[icp_valid].astype(np.float32),
+                        "render_bbox": np.array(
+                            [xs_r.min(), ys_r.min(), xs_r.max(), ys_r.max()]
+                        ),
+                        "anchor_depth": float(np.median(depth_mm[depth_mm > 0])),
                     }
                     detector.bank.add_template_levels(class_id, tl, info=info)
                     detector.invalidate(class_id)

@@ -21,7 +21,7 @@ import numpy as np
 from sixdpose_tpu.config import DetectorConfig, IcpConfig
 from sixdpose_tpu.geometry.render import render
 from sixdpose_tpu.models.detector import Detector, Match
-from sixdpose_tpu.models.refine import refine_poses
+from sixdpose_tpu.models.refine import refine_poses, sample_model_points
 
 
 @dataclasses.dataclass
@@ -122,32 +122,49 @@ class PoseEstimationService:
         if not matches:
             return []
 
-        renders, init_Ts, meta = [], [], []
+        clouds, valids, init_Ts, meta = [], [], [], []
+        npts = self.icp.num_model_points
         for m in matches:
             if m.class_id not in self.models:
                 continue
-            dimg = self._template_render(m.class_id, m.template_id, (w, h))
-            if dimg is None:
-                continue
             info = self.det.bank.infos[m.class_id][m.template_id]
-            R0 = np.asarray(info["cam_R_w2c"], np.float64)
-            t0 = np.asarray(info["cam_t_w2c"], np.float64).reshape(3)
 
-            # Seed translation: move the render to the detected position
-            # (centroid shift, same idea as poseRefine's init guess,
-            # linemodLevelup.cpp:60-104).
-            ys, xs = np.nonzero(dimg > 0)
-            if len(ys) == 0:
-                continue
+            if "icp_points" in info:
+                # Train-time cloud + bbox (no serve-time render).
+                pts_m = np.asarray(info["icp_points"], np.float32)
+                bx0, by0, bx1, by1 = np.asarray(info["render_bbox"])
+                z_anchor = float(info["anchor_depth"]) / 1000.0
+                cx_r = pts_m[:, 0].mean()
+                cy_r = pts_m[:, 1].mean()
+                src_c = pts_m.mean(0)
+                bw, bh = int(bx1 - bx0), int(by1 - by0)
+            else:
+                dimg = self._template_render(m.class_id, m.template_id, (w, h))
+                if dimg is None:
+                    continue
+                ys, xs = np.nonzero(dimg > 0)
+                if len(ys) == 0:
+                    continue
+                pts_all, val_all = sample_model_points(
+                    dimg.astype(np.uint16), info.get("cam_K", self.K), npts
+                )
+                pts_m = pts_all[val_all]
+                src_c = pts_m.mean(0)
+                z_anchor = float(np.median(dimg[dimg > 0])) / 1000.0
+                bx0, by0 = xs.min(), ys.min()
+                bw, bh = int(xs.max() - xs.min()), int(ys.max() - ys.min())
+
+            # Seed translation: move the template cloud to the detected
+            # position (centroid shift, same idea as poseRefine's init
+            # guess, linemodLevelup.cpp:60-104).
             zs = depth[
-                np.clip(m.y + (ys - ys.min()), 0, h - 1),
-                np.clip(m.x + (xs - xs.min()), 0, w - 1),
+                np.clip(m.y, 0, h - 1) : np.clip(m.y + bh + 1, 1, h),
+                np.clip(m.x, 0, w - 1) : np.clip(m.x + bw + 1, 1, w),
             ]
-            z_med = np.median(zs[zs > 0]) / 1000.0 if (zs > 0).any() else t0[2] / 1000.0
-            cx_r = xs.mean()
-            cy_r = ys.mean()
-            u = m.x + (cx_r - xs.min())
-            v = m.y + (cy_r - ys.min())
+            zs_nz = zs[zs > 0]
+            z_med = float(np.median(zs_nz)) / 1000.0 if len(zs_nz) else z_anchor
+            u = m.x + bw / 2.0
+            v = m.y + bh / 2.0
             target = np.array(
                 [
                     (u - self.K[0, 2]) / self.K[0, 0] * z_med,
@@ -155,34 +172,44 @@ class PoseEstimationService:
                     z_med,
                 ]
             )
-            zr = dimg[dimg > 0].astype(np.float64) / 1000.0
-            src_c = np.array(
-                [
-                    (cx_r - info.get("cam_K", self.K)[0, 2])
-                    / info.get("cam_K", self.K)[0, 0]
-                    * zr.mean(),
-                    (cy_r - info.get("cam_K", self.K)[1, 2])
-                    / info.get("cam_K", self.K)[1, 1]
-                    * zr.mean(),
-                    zr.mean(),
-                ]
-            )
             T0 = np.eye(4, dtype=np.float32)
             T0[:3, 3] = target - src_c
-            renders.append(dimg.astype(np.uint16))
+            pad = npts - len(pts_m)
+            if pad > 0:
+                cloud = np.concatenate(
+                    [pts_m, np.zeros((pad, 3), np.float32)]
+                )
+                valid = np.concatenate(
+                    [np.ones(len(pts_m), bool), np.zeros(pad, bool)]
+                )
+            else:
+                sel = np.linspace(0, len(pts_m) - 1, npts).astype(np.int64)
+                cloud = pts_m[sel]
+                valid = np.ones(npts, bool)
+            clouds.append(cloud)
+            valids.append(valid)
             init_Ts.append(T0)
             meta.append(m)
 
-        if not renders:
+        if not clouds:
             return []
-        hm = max(r.shape[0] for r in renders)
-        wm = max(r.shape[1] for r in renders)
-        stack = np.zeros((len(renders), hm, wm), np.uint16)
-        for i, r in enumerate(renders):
-            stack[i, : r.shape[0], : r.shape[1]] = r
 
-        Ts, fits, _rmse = refine_poses(
-            depth, self.K, stack, self.K, np.stack(init_Ts), self.icp
+        import jax
+        import jax.numpy as jnp
+
+        from sixdpose_tpu.models.refine import backproject, icp_batch, scene_normals
+
+        sp = backproject(jnp.asarray(depth), jnp.asarray(self.K.astype(np.float32)))
+        sn = scene_normals(sp)
+        Ts, fits, _rmse = icp_batch(
+            jnp.asarray(np.stack(clouds)),
+            jnp.asarray(np.stack(valids)),
+            sp,
+            sn,
+            jnp.asarray(self.K.astype(np.float32)),
+            jnp.asarray(np.stack(init_Ts)),
+            self.icp.corr_dist,
+            self.icp.max_iters,
         )
         Ts = np.asarray(Ts, np.float64)
         fits = np.asarray(fits)
@@ -207,31 +234,59 @@ class PoseEstimationService:
                 t=result[:3, 3:4] * 1000.0,
                 fitness=float(fits[i]),
             )
-            est.verify = self._verify(est, depth)
-            if est.verify < self.min_verify:
-                continue
             out.append(est)
+
+        # Batched pose verification: all survivors in one dispatch
+        # (models/refine.py::verify_poses).
+        if out:
+            import jax
+            import jax.numpy as jnp
+
+            from sixdpose_tpu.models.refine import verify_poses
+
+            by_class: Dict[str, List[int]] = {}
+            for i, e in enumerate(out):
+                by_class.setdefault(e.class_id, []).append(i)
+            for cid, idxs in by_class.items():
+                pts = self._verify_points(cid)
+                Rs = jnp.asarray(
+                    np.stack([out[i].R for i in idxs]).astype(np.float32)
+                )
+                tsv = jnp.asarray(
+                    np.stack([out[i].t.flatten() for i in idxs]).astype(np.float32)
+                )
+                scores = np.asarray(
+                    verify_poses(
+                        pts, Rs, tsv, jnp.asarray(depth),
+                        jnp.asarray(self.K.astype(np.float32)),
+                        tau_mm=self.verify_tau,
+                    )
+                )
+                for j, i in enumerate(idxs):
+                    out[i].verify = float(scores[j])
+            out = [e for e in out if e.verify >= self.min_verify]
         return nms_norms(out, self.dedupe_radius_mm, key=self.rank_key)
 
-    def _verify(self, est: PoseEstimate, depth: np.ndarray) -> float:
-        """Depth-consistency of the refined pose: render the model at the
-        estimate and measure the fraction of rendered pixels whose scene
-        depth agrees within ``verify_tau`` mm.  Discriminates refinements
-        that locked onto a different object's surface (no reference
-        analog; the reference's only post-check is ICP fitness)."""
-        h, w = depth.shape
-        d_est = np.asarray(
-            render(
-                self.models[est.class_id], (w, h), self.K, est.R, est.t,
-                mode="depth",
-            )
-        )
-        m = d_est > 0
-        if not m.any():
-            return 0.0
-        ds = depth[m].astype(np.float32)
-        agree = (np.abs(d_est[m] - ds) < self.verify_tau) & (ds > 0)
-        return float(agree.mean())
+    def _verify_points(self, class_id: str):
+        """Dense surface-point sample of a model (cached device array)."""
+        if not hasattr(self, "_vpts"):
+            self._vpts = {}
+        if class_id not in self._vpts:
+            import jax.numpy as jnp
+
+            from sixdpose_tpu.geometry.render import subdivide_mesh
+
+            model = self.models[class_id]
+            pts = np.asarray(model["pts"], np.float64)
+            faces = np.asarray(model["faces"], np.int64)
+            extent = float(np.linalg.norm(pts, axis=1).max())
+            pts2, faces2 = subdivide_mesh(pts, faces, max_edge=max(extent / 12, 2.0))
+            # face centroids + vertices = dense surface cover
+            surf = np.concatenate([pts2, pts2[faces2].mean(1)], 0)
+            if len(surf) > 2048:
+                surf = surf[np.linspace(0, len(surf) - 1, 2048).astype(np.int64)]
+            self._vpts[class_id] = jnp.asarray(surf.astype(np.float32))
+        return self._vpts[class_id]
 
     def run(
         self,
