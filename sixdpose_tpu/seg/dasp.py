@@ -233,9 +233,10 @@ def alic_iterate(
     flat_color = px["color"]
     flat_normal = px["normal"]
 
-    def one_iter(_, state):
-        sp = state
-        # Bucket superpixels into the coarse grid (scatter with capacity).
+    def assign(sp):
+        """Assignment pass: each pixel picks the best superpixel among its
+        3x3-hash-cell candidates (the reference iterates superpixels over
+        their 3r boxes; this is the pixel-centric dual, alic.hpp:87-110)."""
         cx = jnp.clip(sp["position"][:, 0].astype(jnp.int32) // cfg.cell_px, 0, gw - 1)
         cy = jnp.clip(sp["position"][:, 1].astype(jnp.int32) // cfg.cell_px, 0, gh - 1)
         cell = cy * gw + cx
@@ -288,7 +289,11 @@ def alic_iterate(
         best = jnp.argmin(dist, axis=-1)
         best_d = jnp.take_along_axis(dist, best[..., None], -1)[..., 0]
         idx = jnp.take_along_axis(cand, best[..., None], -1)[..., 0]
-        indices = jnp.where(jnp.isfinite(best_d), idx, -1)
+        return jnp.where(jnp.isfinite(best_d), idx, -1)
+
+    def one_iter(_, state):
+        sp = state
+        indices = assign(sp)
 
         # Update: segment means (alic.hpp:113-128).
         seg = jnp.where(indices >= 0, indices, s).reshape(-1)
@@ -325,63 +330,10 @@ def alic_iterate(
             new_sp[k] = jnp.where(dead[:, None] if new_sp[k].ndim == 2 else dead, sp[k], new_sp[k])
         return new_sp
 
-    sp = jax.lax.fori_loop(0, cfg.iterations - 1, one_iter, sp)
-    # Final assignment pass to get indices consistent with final superpixels.
-    final = one_iter(0, sp)
-
-    # Recompute indices with the final state (one extra assignment).
-    # (one_iter returns updated sp; we need indices — redo assignment.)
-    # For simplicity run the assignment body once more and capture indices:
-    sp2 = final
-
-    # inline final assignment
-    cx = jnp.clip(sp2["position"][:, 0].astype(jnp.int32) // cfg.cell_px, 0, gw - 1)
-    cy = jnp.clip(sp2["position"][:, 1].astype(jnp.int32) // cfg.cell_px, 0, gh - 1)
-    cell = cy * gw + cx
-    order = jnp.argsort(cell)
-    cell_sorted = cell[order]
-    same = cell_sorted[:, None] == cell_sorted[None, :]
-    earlier = jnp.arange(s)[:, None] > jnp.arange(s)[None, :]
-    rank = jnp.sum(same & earlier, axis=1)
-    slot_ok = (rank < cap) & seed_valid[order]
-    bucket = jnp.full((gh * gw * cap,), -1, jnp.int32)
-    slot_idx = cell_sorted * cap + jnp.minimum(rank, cap - 1)
-    bucket = bucket.at[jnp.where(slot_ok, slot_idx, gh * gw * cap - 1)].set(
-        jnp.where(slot_ok, order.astype(jnp.int32), -1)
-    )
-    bucket = bucket.reshape(gh, gw, cap)
-    cands = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            by = jnp.clip(pyi + dy, 0, gh - 1)
-            bx = jnp.clip(pxi + dx, 0, gw - 1)
-            cands.append(bucket[by, bx])
-    cand = jnp.concatenate(cands, axis=-1)
-    ci = jnp.maximum(cand, 0)
-    d_world = flat_world[:, :, None, :] - sp2["world"][ci]
-    d_color = flat_color[:, :, None, :] - sp2["color"][ci]
-    n_dot = jnp.sum(flat_normal[:, :, None, :] * sp2["normal"][ci], -1)
-    dist = (
-        cfg.compactness * jnp.sum(d_world * d_world, -1) / (cfg.radius * cfg.radius)
-        + (1.0 - cfg.compactness)
-        * (
-            (1.0 - cfg.normal_weight) * jnp.sum(d_color * d_color, -1)
-            + cfg.normal_weight * (1.0 - n_dot)
-        )
-    )
-    sp_rad = 1.0 / jnp.sqrt(jnp.maximum(3.1415 * sp2["density"], 1e-9))
-    pxf = jnp.arange(w, dtype=jnp.float32)[None, :, None]
-    pyf = jnp.arange(h, dtype=jnp.float32)[:, None, None]
-    inbox = (
-        (jnp.abs(pxf - sp2["position"][ci][..., 0]) <= cfg.lambda_box * sp_rad[ci])
-        & (jnp.abs(pyf - sp2["position"][ci][..., 1]) <= cfg.lambda_box * sp_rad[ci])
-    )
-    dist = jnp.where((cand >= 0) & inbox & valid_px[..., None], dist, jnp.inf)
-    best = jnp.argmin(dist, axis=-1)
-    best_d = jnp.take_along_axis(dist, best[..., None], -1)[..., 0]
-    idx = jnp.take_along_axis(cand, best[..., None], -1)[..., 0]
-    indices = jnp.where(jnp.isfinite(best_d), idx, -1)
-    return indices, sp2
+    sp = jax.lax.fori_loop(0, cfg.iterations, one_iter, sp)
+    # Final assignment against the converged superpixels.
+    indices = assign(sp)
+    return indices, sp
 
 
 class UnionFind:
