@@ -57,7 +57,7 @@ def _offset(t: int) -> int:
     return t // 2 + (t % 2 - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("t_at_level", "threshold", "top_k"))
+@functools.partial(jax.jit, static_argnames=("t_at_level", "top_k"))
 def _match_class(
     response_pyramid: Tuple[jnp.ndarray, ...],
     kernels: Tuple[jnp.ndarray, ...],
@@ -208,7 +208,7 @@ def detect_frame_core(
     return tid, x, y, score, keep
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "threshold", "apply_nms"))
+@functools.partial(jax.jit, static_argnames=("cfg", "apply_nms"))
 def detect_frame(
     rgb: Optional[jnp.ndarray],
     depth: Optional[jnp.ndarray],
@@ -339,25 +339,27 @@ class Detector:
 
         Returns (tid, x, y, score, keep): (B, K) device arrays.
         """
-        key = (class_id, float(threshold), bool(apply_nms))
+        key = (class_id, bool(apply_nms))
         if key not in self._batch_fns:
             kernels, nfeats, whs = self.device_bank(class_id)
             feats, valids = self._device_feats[class_id]
 
-            def one(r, d):
+            def one(r, d, thr):
                 return detect_frame_core(
                     r, d, kernels, nfeats, whs, self.cfg,
-                    float(threshold), apply_nms, feats, valids,
+                    thr, apply_nms, feats, valids,
                 )
 
-            self._batch_fns[key] = jax.jit(jax.vmap(one))
+            self._batch_fns[key] = jax.jit(
+                jax.vmap(one, in_axes=(0, 0, None))
+            )
         rgb_b = jnp.asarray(rgb_batch)
         dep_b = (
             jnp.asarray(depth_batch)
             if depth_batch is not None
             else jnp.zeros(rgb_b.shape[:3], jnp.uint16)
         )
-        return self._batch_fns[key](rgb_b, dep_b)
+        return self._batch_fns[key](rgb_b, dep_b, jnp.float32(threshold))
 
     def match(
         self,

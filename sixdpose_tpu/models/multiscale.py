@@ -8,13 +8,15 @@ this by loading separate per-radius template files (test.cpp:116, 178).
 TPU-first realization, fully fused in one jit program:
 
   scale proposal (ops/scale_proposal.py)
-    -> device scatter-build of scaled kernels (ops/similarity.py)
-    -> ONE dense conv over all (scale, template) pairs at the coarse level
+    -> feature-sparse row-gather scoring of ALL (scale, template) pairs
+       at the coarse level (ops/similarity.py similarity_multiscale_sparse;
+       scaling is index arithmetic, so no kernel tables exist at all)
     -> top-K over (scale, template, y, x)
-    -> per-candidate scaled kernel build + grouped local refinement
+    -> per-candidate feature-sparse local refinement (Pallas on TPU)
     -> NMS
 
-so the scale sweep costs one wider conv instead of S separate matches.
+so the scale sweep costs one im2col + one gather instead of S separate
+matches.
 """
 
 from __future__ import annotations
@@ -36,14 +38,9 @@ from sixdpose_tpu.models.detector import (
 )
 from sixdpose_tpu.ops.scale_proposal import bin_centers, propose_depth_bins, propose_depths
 from sixdpose_tpu.ops.similarity import (
-    build_kernels_scaled,
-    count_kernel_features,
     score_normalize,
-    similarity_dense,
-    similarity_dense_pre_s2d,
-    similarity_local,
-    similarity_local_sparse,
     similarity_local_sparse_auto,
+    similarity_multiscale_sparse,
 )
 from sixdpose_tpu.ops.topk_nms import nms_boxes, topk_candidates
 
@@ -58,7 +55,7 @@ class ScaleMatch(Match):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "threshold", "num_scales", "kdims"),
+    static_argnames=("cfg", "num_scales", "kdims"),
 )
 def _multiscale_detect(
     rgb,
@@ -66,8 +63,6 @@ def _multiscale_detect(
     feats: Tuple[jnp.ndarray, ...],
     valids: Tuple[jnp.ndarray, ...],
     whs: Tuple[jnp.ndarray, ...],
-    coarse_kernels: jnp.ndarray,
-    coarse_nfeat: jnp.ndarray,
     bin_scales: jnp.ndarray,
     cfg: DetectorConfig,
     threshold: float,
@@ -79,21 +74,16 @@ def _multiscale_detect(
     Args:
       feats/valids/whs: per-level padded feature arrays ((N, F, 3), (N, F),
         (N, 2)).
-      coarse_kernels: (NB, N, C*t*t, khc/t, kwc/t) int8 kernels prebuilt
-        per depth bin in s2d layout (runtime selection is a contiguous
-        slice, not a scatter build — the reference's "different scales as
-        different objs" final design, notes.md:58-63).
-      coarse_nfeat: (NB, N) int32.
       bin_scales: (NB,) float32 feature scale per depth bin.
       kdims: per-level static (kh, kw) covering the largest allowed scale
-        (used for the per-candidate refinement builds).
+        (bounds for the scaled-feature clip; also used for the
+        per-candidate refinement builds).
 
     Returns (tid, x, y, score, keep, depths, scales).
     """
     levels = cfg.pyramid_levels
     coarse = levels - 1
     t_c = cfg.t_at_level[coarse]
-    num_channels = 8 * cfg.num_modalities
     n = feats[0].shape[0]
     s = num_scales
 
@@ -102,19 +92,15 @@ def _multiscale_detect(
     valid_scale = counts > 0
     scales = jnp.where(valid_scale, bin_scales[bin_idx], 0.0)
 
-    # --- coarse level: one conv over all (scale, template) pairs ---
-    # Per-bin dynamic slices instead of a fancy-index gather: each bin is
-    # one contiguous block, and XLA's slice path moves it at full HBM
-    # bandwidth (measured 17.6 ms -> 2.0 ms for 5 x 45 MB bins).
-    kern_c = jnp.concatenate(
-        [
-            jax.lax.dynamic_index_in_dim(coarse_kernels, bin_idx[i], 0, keepdims=False)
-            for i in range(s)
-        ],
-        axis=0,
+    # --- coarse level: feature-sparse row-gather scoring of all
+    # (scale, template) pairs (ops/similarity.py); scaling is pure index
+    # arithmetic, so there is no per-bin kernel table and no scatter
+    # build — the reference's "different scales as different objects"
+    # design (notes.md:58-63) costs one im2col + one gather here.
+    kh_c, kw_c = kdims[coarse]
+    raw, nfeat_c = similarity_multiscale_sparse(
+        pyramid[coarse], feats[coarse], valids[coarse], scales, t_c, kh_c, kw_c
     )
-    nfeat_c = coarse_nfeat[bin_idx].reshape(s * n)
-    raw = similarity_dense_pre_s2d(pyramid[coarse], kern_c, t_c)
     scores = score_normalize(raw, jnp.maximum(nfeat_c, 1))
     # Mask empty kernels and invalid scale proposals.
     ok = (nfeat_c > 0) & jnp.repeat(valid_scale, n)
@@ -213,7 +199,7 @@ class MultiScaleDetector:
         if class_id not in self._arrays:
             tmpls = self.det.bank.templates[class_id]
             levels = self.cfg.pyramid_levels
-            feats, valids, whs, kdims = [], [], [], []
+            feats_np, valids_np, whs_np, kdims = [], [], [], []
             for l in range(levels):
                 fmax = max(len(t[l].features) for t in tmpls)
                 n = len(tmpls)
@@ -225,45 +211,22 @@ class MultiScaleDetector:
                     fa[i, : len(f)] = f
                     va[i, : len(f)] = True
                     wh[i] = (t[l].width, t[l].height)
-                feats.append(jnp.asarray(fa))
-                valids.append(jnp.asarray(va))
-                whs.append(jnp.asarray(wh))
+                feats_np.append(fa)
+                valids_np.append(va)
+                whs_np.append(wh)
                 kh = int(np.ceil((wh[:, 1].max() + 1) * self.max_scale))
                 kw = int(np.ceil((wh[:, 0].max() + 1) * self.max_scale))
                 kdims.append((kh, kw))
-
-            # Prebuild coarse-level kernels once per discrete depth bin,
-            # already in space-to-depth layout (the on-device transpose of
-            # the gathered stack cost ~20 ms/frame); runtime selection is
-            # a contiguous dynamic slice.
-            from sixdpose_tpu.ops.similarity import s2d_kernels_host
-
-            coarse = levels - 1
-            t_c = self.cfg.t_at_level[coarse]
-            kh_c, kw_c = kdims[coarse]
-            num_channels = 8 * self.cfg.num_modalities
-            fa = np.asarray(feats[coarse])
-            va = np.asarray(valids[coarse])
-            nb = len(self.bin_scales)
-            ck_list = []
-            cn = np.zeros((nb, n), np.int32)
-            for b, sc in enumerate(self.bin_scales):
-                kb = np.zeros((n, num_channels, kh_c, kw_c), np.int8)
-                xs = np.round(fa[..., 0] * sc).astype(np.int64)
-                ys = np.round(fa[..., 1] * sc).astype(np.int64)
-                cs = fa[..., 2]
-                ok = va & (xs >= 0) & (xs < kw_c) & (ys >= 0) & (ys < kh_c)
-                tidx = np.broadcast_to(np.arange(n)[:, None], xs.shape)
-                np.add.at(kb, (tidx[ok], cs[ok], ys[ok], xs[ok]), 1)
-                cn[b] = kb.reshape(n, -1).sum(1)
-                ck_list.append(s2d_kernels_host(kb, t_c))
-            ck = np.stack(ck_list)
+            # Upload once; never read device arrays back (a D2H round trip
+            # permanently drops tunneled devices from async to synchronous
+            # dispatch, ~22 ms/call).
+            feats = [jnp.asarray(a) for a in feats_np]
+            valids = [jnp.asarray(a) for a in valids_np]
+            whs = [jnp.asarray(a) for a in whs_np]
             self._arrays[class_id] = (
                 tuple(feats),
                 tuple(valids),
                 tuple(whs),
-                jnp.asarray(ck),
-                jnp.asarray(cn),
                 jnp.asarray(self.bin_scales),
                 tuple(kdims),
             )
@@ -276,15 +239,13 @@ class MultiScaleDetector:
         threshold: float,
         class_id: str,
     ) -> List[ScaleMatch]:
-        feats, valids, whs, ck, cn, bs, kdims = self._feature_arrays(class_id)
+        feats, valids, whs, bs, kdims = self._feature_arrays(class_id)
         tid, x, y, score, keep, depths, scales = _multiscale_detect(
             jnp.asarray(rgb) if rgb is not None else None,
             jnp.asarray(depth),
             feats,
             valids,
             whs,
-            ck,
-            cn,
             bs,
             self.cfg,
             float(threshold),

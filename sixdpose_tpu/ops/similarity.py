@@ -178,6 +178,87 @@ def similarity_dense_pre_s2d(
     return out[0].astype(jnp.float32)
 
 
+def _im2col_s2d(response_maps: jnp.ndarray, t: int, khb: int, kwb: int):
+    """Unfold s2d response maps into im2col rows.
+
+    Returns (P, Ho, Wo) with P of shape (C*t*t*khb*kwb, Ho*Wo): row
+    c'*(khb*kwb) + dy*kwb + dx holds maps_s2d[c', dy:dy+Ho, dx:dx+Wo]
+    flattened, i.e. the response of channel c' under a feature at block
+    offset (dy, dx) for every stride-t template placement.
+    """
+    maps = _s2d_maps(response_maps, t)  # (C*t*t, Hb, Wb)
+    ct2, hb, wb = maps.shape
+    ho, wo = hb - khb + 1, wb - kwb + 1
+    blocks = jnp.stack(
+        [
+            maps[:, dy : dy + ho, dx : dx + wo]
+            for dy in range(khb)
+            for dx in range(kwb)
+        ],
+        axis=1,
+    )  # (C*t*t, khb*kwb, Ho, Wo)
+    return blocks.reshape(ct2 * khb * kwb, ho * wo), ho, wo
+
+
+@functools.partial(jax.jit, static_argnames=("t", "kh", "kw"))
+def similarity_multiscale_sparse(
+    response_maps: jnp.ndarray,
+    feats: jnp.ndarray,
+    valid: jnp.ndarray,
+    scales: jnp.ndarray,
+    t: int,
+    kh: int,
+    kw: int,
+):
+    """Coarse-level multi-scale scoring as a feature-sparse row gather.
+
+    The dense-conv formulation of the scale sweep runs one-hot kernels of
+    ~0.04% density through the MXU — >99.9% wasted MACs — and needs a
+    per-depth-bin prebuilt kernel table (hundreds of MB of HBM).  This
+    computes the identical sum sparsely: im2col the s2d response maps once
+    per frame (cheap: C*t^2*khb*kwb rows of Ho*Wo bytes), then for every
+    (scale, template, feature) gather ONE row and segment-sum over
+    features.  Work scales with the actual feature count — the same
+    insight as the reference's linearized memories (cpp:1215-1243), with
+    the row gather playing the role of the T-stride linear access.
+
+    Args:
+      response_maps: (C, H, W) uint8 coarse response maps.
+      feats: (N, F, 3) int32 per-template (x, y, channel), unscaled.
+      valid: (N, F) bool.
+      scales: (S,) float32 feature scale per proposed depth (0 = invalid
+        proposal: contributes nfeat 0).
+      t: stride at this level.
+      kh, kw: static max template extent in pixels over all scales (the
+        bounds features are clipped against; reference builds kernels of
+        this extent, so gather parity requires the same clip).
+
+    Returns:
+      raw: (S*N, Ho, Wo) float32 raw scores, scale-major.
+      nfeat: (S*N,) int32 effective feature counts.
+    """
+    khb, kwb = -(-kh // t), -(-kw // t)
+    p, ho, wo = _im2col_s2d(response_maps, t, khb, kwb)
+    p = jnp.pad(p, ((0, 1), (0, 0)))  # zero row for masked features
+    zero_row = p.shape[0] - 1
+
+    def per_scale(sc):
+        xs = jnp.round(feats[..., 0].astype(jnp.float32) * sc).astype(jnp.int32)
+        ys = jnp.round(feats[..., 1].astype(jnp.float32) * sc).astype(jnp.int32)
+        cs = feats[..., 2]
+        ok = valid & (xs >= 0) & (xs < kw) & (ys >= 0) & (ys < kh) & (sc > 0)
+        cprime = cs * (t * t) + (ys % t) * t + (xs % t)
+        idx = cprime * (khb * kwb) + (ys // t) * kwb + (xs // t)
+        return jnp.where(ok, idx, zero_row), ok
+
+    idxs, oks = jax.vmap(per_scale)(scales)  # (S, N, F)
+    s, n, f = idxs.shape
+    g = jnp.take(p, idxs.reshape(-1), axis=0)  # (S*N*F, Ho*Wo) uint8
+    raw = jnp.sum(g.reshape(s * n, f, ho * wo).astype(jnp.int32), axis=1)
+    nfeat = jnp.sum(oks, axis=2).reshape(s * n).astype(jnp.int32)
+    return raw.reshape(s * n, ho, wo).astype(jnp.float32), nfeat
+
+
 @functools.partial(jax.jit, static_argnames=("t",))
 def similarity_dense(
     response_maps: jnp.ndarray, kernels: jnp.ndarray, t: int

@@ -186,3 +186,51 @@ def test_similarity_local_sparse_matches_dense(rng):
     )
     assert (np.asarray(counts) == f).all()
     assert np.allclose(np.asarray(sparse), dense)
+
+
+def test_similarity_multiscale_sparse_matches_scaled_conv(rng):
+    """The multiscale row-gather scorer must equal a dense conv over
+    kernels built with the same per-scale feature rounding/clipping."""
+    from sixdpose_tpu.ops.similarity import (
+        similarity_dense,
+        similarity_multiscale_sparse,
+    )
+
+    h, w, t = 48, 64, 4
+    c = 8
+    kh, kw = 14, 11  # deliberately not multiples of t
+    rm = rng.integers(0, 5, (c, h, w)).astype(np.uint8)
+    n, f = 4, 9
+    feats = np.stack(
+        [
+            rng.integers(0, 16, (n, f)),   # x, may scale out of bounds
+            rng.integers(0, 16, (n, f)),   # y
+            rng.integers(0, c, (n, f)),
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    valid = rng.random((n, f)) > 0.2
+    scales = np.array([1.0, 0.6, 1.4, 0.0], np.float32)  # last = invalid
+
+    raw, nfeat = similarity_multiscale_sparse(
+        jnp.asarray(rm), jnp.asarray(feats), jnp.asarray(valid),
+        jnp.asarray(scales), t, kh, kw,
+    )
+    raw = np.asarray(raw)
+    nfeat = np.asarray(nfeat)
+
+    s = len(scales)
+    khb, kwb = -(-kh // t), -(-kw // t)
+    assert raw.shape == (s * n, -(-h // t) - khb + 1, -(-w // t) - kwb + 1)
+    for si, sc in enumerate(scales):
+        xs = np.round(feats[..., 0] * sc).astype(np.int32)
+        ys = np.round(feats[..., 1] * sc).astype(np.int32)
+        ok = valid & (xs >= 0) & (xs < kw) & (ys >= 0) & (ys < kh) & (sc > 0)
+        kern = np.zeros((n, c, khb * t, kwb * t), np.int8)
+        tid = np.broadcast_to(np.arange(n)[:, None], (n, f))
+        np.add.at(
+            kern, (tid[ok], feats[..., 2][ok], ys[ok], xs[ok]), 1
+        )
+        dense = np.asarray(similarity_dense(jnp.asarray(rm), jnp.asarray(kern), t))
+        assert np.allclose(raw[si * n : (si + 1) * n], dense), f"scale {sc}"
+        assert (nfeat[si * n : (si + 1) * n] == ok.sum(1)).all()
