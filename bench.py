@@ -6,8 +6,16 @@ Prints ONE JSON line:
 Baseline: the reference's single-scale one-class match at ~0.03 s/frame on
 VGA (linemodLevelup/notes.md:29; BASELINE.md) -> 33.33 fps.  Same workload
 here: VGA RGB-D frame, one class, both modalities, full pyramid match
-(fused single-dispatch pipeline), steady-state pipelined throughput on the
-available accelerator.
+(fused single-dispatch pipeline) on the available accelerator.
+
+Methodology: K frame-matches are CHAINED inside one jit program (each
+frame is a data-dependent perturbation of the last, so no two dispatches
+are identical and every iteration must really execute), timed over two
+chain lengths, and the per-frame time is the slope.  Plain async-dispatch
+loops are NOT trustworthy on tunneled devices: the relay acks dispatches
+without executing them, and one host readback permanently degrades
+dispatch to synchronous RTT.  The slope of chained-in-program iterations
+is pure device compute.
 """
 
 from __future__ import annotations
@@ -85,23 +93,44 @@ def main() -> int:
     for tl in templates:
         det.bank.add_template_levels(cid, tl)
 
+    from sixdpose_tpu.models.detector import detect_frame_core
+
     rgbj = jnp.asarray(rgb)
     depj = jnp.asarray(dep)
+    kernels, nfeats, whs = det.device_bank(cid)
+    feats, valids = det._device_feats[cid]
 
-    # Warm up / compile.
-    out = det.match_arrays(rgbj, depj, 75.0, cid)
-    jax.block_until_ready(out)
+    def frame_body(r, i):
+        """One full match; next frame = data-dependent perturbation."""
+        tid, x, y, score, keep = detect_frame_core(
+            r, depj, kernels, nfeats, whs, cfg, 75.0, True, feats, valids
+        )
+        d = (score[0] % 2.0).astype(jnp.uint8)
+        return r ^ d
 
-    # Steady-state pipelined throughput (async dispatch, one final block) —
-    # the deployment pattern for a frame stream.  Best of 3 rounds to damp
-    # host/tunnel jitter.
-    n = 100
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        outs = [det.match_arrays(rgbj, depj, 75.0, cid) for _ in range(n)]
-        jax.block_until_ready(outs)
-        best_dt = min(best_dt, (time.time() - t0) / n)
+    def chain(k):
+        @jax.jit
+        def prog(r):
+            return jax.lax.fori_loop(0, k, lambda i, v: frame_body(v, i), r)
+        return prog
+
+    k1, k2 = 4, 36
+    p1, p2 = chain(k1), chain(k2)
+    for p in (p1, p2):  # compile warm (readbacks here are fine: they are
+        r = p(rgbj)     # not in the timed region and slope cancels RTT)
+        _ = float(jnp.sum(r[..., :1].astype(jnp.float32)))
+
+    def run(p):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            r = p(rgbj)
+            _ = float(jnp.sum(r[..., :1].astype(jnp.float32)))
+            best = min(best, time.time() - t0)
+        return best
+
+    t1, t2 = run(p1), run(p2)
+    best_dt = (t2 - t1) / (k2 - k1)
     fps = 1.0 / best_dt
 
     print(

@@ -37,6 +37,7 @@ from sixdpose_tpu.ops.similarity import (
     similarity_dense,
     similarity_local,
     similarity_local_sparse_auto,
+    similarity_multiscale_sparse,
 )
 from sixdpose_tpu.ops.topk_nms import topk_candidates, nms_boxes
 
@@ -87,8 +88,25 @@ def _match_class(
     t_c = t_at_level[coarse]
 
     # --- dense scoring at the coarsest level (cpp:1820-1852) ---
-    raw = similarity_dense(response_pyramid[coarse], kernels[coarse], t_c)
-    scores = score_normalize(raw, nfeats[coarse])
+    # Feature-sparse row-gather scorer when the feature lists are
+    # available (work scales with feature count; the one-hot conv wastes
+    # >99.9% of its MACs), dense conv otherwise.
+    if feats is not None:
+        kh_c, kw_c = kernels[coarse].shape[2:]
+        raw, nf_c = similarity_multiscale_sparse(
+            response_pyramid[coarse],
+            feats[coarse],
+            valids[coarse],
+            jnp.ones((1,), jnp.float32),
+            t_c,
+            kh_c,
+            kw_c,
+        )
+        scores = score_normalize(raw, jnp.maximum(nf_c, 1))
+        scores = jnp.where(nf_c[:, None, None] > 0, scores, -1.0)
+    else:
+        raw = similarity_dense(response_pyramid[coarse], kernels[coarse], t_c)
+        scores = score_normalize(raw, nfeats[coarse])
     tid, yi, xi, score = topk_candidates(scores, threshold, top_k)
     x = xi * t_c + _offset(t_c)
     y = yi * t_c + _offset(t_c)
@@ -110,14 +128,17 @@ def _match_class(
         og_y = jnp.maximum(y // t - 8, 0)
         origins = jnp.stack([og_y * t, og_x * t], axis=1)
 
-        # Refinement path selection (static, by kernel area): the grouped
-        # conv wins for small templates; for large kernel areas its groups
-        # are matrix-vector products and the feature-sparse path (Pallas
-        # DMA kernel on TPU) wins by an order of magnitude.
-        area = kernels[l].shape[1] * kernels[l].shape[2] * kernels[l].shape[3]
-        if feats is not None and area > 16 * 96 * 96:
+        # Feature-sparse refinement whenever feature lists are available:
+        # work scales with the feature count (Pallas DMA kernel on TPU).
+        # The grouped-conv alternative computes each candidate as a
+        # matrix-vector group — honest chained-dispatch timing puts it at
+        # ~38 ms for the case1 127 bank vs ~8 ms sparse (the previous
+        # area heuristic favoring it came from untrustworthy async-mode
+        # measurements).
+        if feats is not None:
             raw_local, _ = similarity_local_sparse_auto(
-                response_pyramid[l], feats[l][tid], valids[l][tid], origins, t
+                response_pyramid[l], feats[l][tid], valids[l][tid], origins, t,
+                active=score >= 0,
             )
         else:
             kern_sel = kernels[l][tid]
@@ -224,8 +245,9 @@ def detect_frame(
     """One fused detection step as a SINGLE compiled program — one device
     dispatch per frame (north-star requirement that detect(+refine) be one
     compiled path, SURVEY.md §6; also what keeps host<->device round trips
-    off the critical path: measured 0.14 ms/frame pipelined on one
-    TPU v5e for case1 VGA, 89 templates x 2 modalities)."""
+    off the critical path).  Honest chained-dispatch timing (bench.py
+    methodology) on one TPU v5e: ~8.5 ms/frame for case1 VGA, 89
+    templates x 2 modalities."""
     return detect_frame_core(
         rgb, depth, kernels, nfeats, whs, cfg, threshold, apply_nms, feats, valids
     )

@@ -138,6 +138,7 @@ def _multiscale_detect(
             origins,
             t,
             scale=cand_scale,
+            active=score >= 0,
         )
         local_scores = score_normalize(raw_local, jnp.maximum(nf_sel, 1))
         flat = local_scores.reshape(local_scores.shape[0], -1)

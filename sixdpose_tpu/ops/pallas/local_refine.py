@@ -6,15 +6,29 @@ The local pyramid refinement sums, per candidate, F small
 dynamic slices to a gather; this kernel streams the data instead:
 
 - one grid program per candidate;
-- per feature, a double-buffered async DMA brings the window ROWS of the
-  feature's s2d channel from HBM into VMEM as a full (window, 128)-lane
-  block (lane-aligned, unlike a 16-wide column slice);
-- a dynamic ``pltpu.roll`` shifts the wanted columns to lane 0 and the
-  VPU accumulates;
-- block addresses arrive via scalar prefetch so every DMA is issued a
-  feature ahead of its use.
+- per feature, a deep-pipelined async DMA brings the window rows of the
+  feature's s2d channel from HBM into VMEM;
+- a dynamic ``pltpu.roll`` shifts the wanted rows/columns into place and
+  the VPU accumulates;
+- block addresses arrive via scalar prefetch so DMAs are issued
+  ``_NBUF - 1`` features ahead of their use.
 
-The s2d maps' lane dimension is padded to a multiple of 128.
+The loop is DMA-bound, so bytes per feature matter most.  Two layout
+tricks cut the fetch from (48, 256) to (32, 128) bytes:
+
+- ROW PAIRING: HBM row offsets must be 32-aligned for int8 tiles, so a
+  16-row window straddling an alignment boundary needs 48 rows.  We keep
+  TWO copies of the maps, the second shifted down 16 rows, and pick the
+  copy whose alignment puts the window inside 32 rows (selection is pure
+  index arithmetic on the prefetched scalars).
+- LANE MASKING: instead of zero-padding the lane dim to wb + window (to
+  keep the column roll from wrapping into data), fetch the natural
+  128-lane tile and zero the wrapped columns with an iota mask after the
+  roll — exact zero-pad semantics at 128 lanes.
+
+Each program also runs only to its candidate's REAL feature count
+(feature masks pad at the end), and inactive candidates (dead top-K
+slots with score < 0) skip the loop entirely.
 """
 
 from __future__ import annotations
@@ -28,53 +42,62 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
+_ROW_ALIGN = 32  # HBM DMA row offsets must be tile-aligned (int8 tiles)
+_ROWS = 32  # rows fetched per feature (window + 16-row copy selection)
+_NBUF = 8  # DMA pipeline depth: hides scattered-row HBM latency
 
 
-_ROW_ALIGN = 32  # HBM DMA row offsets must be tile-aligned
-
-
-def _refine_kernel(window, num_feats, wbp, cidx_ref, by_ref, bx_ref, maps_hbm, out_ref):
+def _refine_kernel(
+    window, wbp, wb, nf_ref, cidx_ref, rs_ref, rr_ref, bx_ref, maps_hbm,
+    out_ref, scratch, acc, sem,
+):
     k = pl.program_id(0)
-    rows = window + _ROW_ALIGN
+    num_feats = nf_ref[k]  # dynamic per-candidate trip count
 
-    def body(scratch, acc, sem):
-        def get_dma(slot, f):
-            by_al = (by_ref[k, f] // _ROW_ALIGN) * _ROW_ALIGN
-            return pltpu.make_async_copy(
-                maps_hbm.at[cidx_ref[k, f], pl.ds(by_al, rows), :],
-                scratch.at[slot],
-                sem.at[slot],
-            )
+    def get_dma(slot, f):
+        # rs_ref holds the 32-row block index; multiply here so Mosaic
+        # can prove the row offset is tile-aligned.
+        return pltpu.make_async_copy(
+            maps_hbm.at[
+                cidx_ref[k, f], pl.ds(rs_ref[k, f] * _ROW_ALIGN, _ROWS), :
+            ],
+            scratch.at[slot],
+            sem.at[slot],
+        )
 
-        get_dma(0, 0).start()
-        acc[:] = jnp.zeros_like(acc)
+    acc[:] = jnp.zeros_like(acc)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (window, wbp), 1)
+
+    @pl.when(num_feats > 0)
+    def _():
+        for j in range(_NBUF - 1):
+            @pl.when(j < num_feats)
+            def _():
+                get_dma(j % _NBUF, j).start()
 
         def loop(f, _):
-            slot = f % 2
+            slot = f % _NBUF
 
-            @pl.when(f + 1 < num_feats)
+            @pl.when(f + _NBUF - 1 < num_feats)
             def _():
-                get_dma((f + 1) % 2, f + 1).start()
+                get_dma((f + _NBUF - 1) % _NBUF, f + _NBUF - 1).start()
 
             get_dma(slot, f).wait()
             vals = scratch[slot].astype(jnp.int32)
-            dby = by_ref[k, f] % _ROW_ALIGN
+            bx = bx_ref[k, f]
             # roll with positive shifts only (left-shift by s == roll by n-s)
             shifted = pltpu.roll(
-                pltpu.roll(vals, wbp - bx_ref[k, f], 1), rows - dby, 0
-            )
-            acc[:] = acc[:] + shifted[:window, :]
+                pltpu.roll(vals, wbp - bx, 1), rr_ref[k, f], 0
+            )[:window, :]
+            # Zero columns that wrapped around the 128-lane tile (exact
+            # zero-pad semantics without padding the lane dim).
+            shifted = jnp.where(lane < wb - bx, shifted, 0)
+            acc[:] = acc[:] + shifted
             return 0
 
         jax.lax.fori_loop(0, num_feats, loop, 0)
-        out_ref[0] = acc[:, :window].astype(jnp.float32)
 
-    pl.run_scoped(
-        body,
-        scratch=pltpu.VMEM((2, rows, wbp), jnp.uint8),
-        acc=pltpu.VMEM((window, wbp), jnp.int32),
-        sem=pltpu.SemaphoreType.DMA((2,)),
-    )
+    out_ref[0] = acc[:, :window].astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("t", "window"))
@@ -86,21 +109,33 @@ def similarity_local_sparse_pallas(
     t: int,
     window: int = 16,
     scale: jnp.ndarray = None,
+    active: jnp.ndarray = None,
 ):
     """Drop-in for ops.similarity.similarity_local_sparse (same contract:
-    returns (scores (K, window, window) f32, counts (K,) int32))."""
+    returns (scores (K, window, window) f32, counts (K,) int32)).
+
+    Each program loops only to its candidate's last valid feature (banks
+    pad feature masks at the end).  ``active`` optionally marks
+    candidates whose output is consumed downstream; inactive ones return
+    zeros without touching HBM.
+    """
     from sixdpose_tpu.ops.similarity import _s2d_maps
 
+    assert window <= 16, "row pairing assumes window <= 16"
     k, f = feats_sel.shape[:2]
     c = response_maps.shape[0]
     maps = _s2d_maps(response_maps, t)
     hb, wb = maps.shape[1:]
-    # Pad: zero channel for invalid features, window rows below, and the
-    # lane dim up to a multiple of 128 with window extra columns so the
-    # roll window never wraps into data.
-    wbp = -(-(wb + window) // _LANES) * _LANES
-    rows_pad = -(-(hb + window + _ROW_ALIGN + 1) // _ROW_ALIGN) * _ROW_ALIGN
-    pads = jnp.pad(maps, ((0, 1), (0, rows_pad - hb), (0, wbp - wb)))
+    wbp = -(-wb // _LANES) * _LANES
+    # Rows: fetches read [row_start, row_start + _ROWS) with row_start
+    # 32-aligned and <= hb - 1 + 16 (copy B); pad so all reads land in
+    # zeros beyond the data.
+    rows_a = -(-(hb + _ROW_ALIGN) // _ROW_ALIGN) * _ROW_ALIGN
+    base = jnp.pad(
+        maps, ((0, 1), (0, rows_a + 16 - hb), (0, wbp - wb))
+    )  # (c*t*t+1, rows_a+16, wbp); extra channel = zeros for masked feats
+    # Copy A: rows [0, rows_a); copy B: shifted down 16 rows.
+    pads = jnp.concatenate([base[:, :rows_a, :], base[:, 16:, :]], axis=0)
     zero_ch = c * t * t
 
     x = feats_sel[..., 0].astype(jnp.float32)
@@ -120,17 +155,40 @@ def similarity_local_sparse_pallas(
     by = jnp.clip(by, 0, hb - 1).astype(jnp.int32)
     bx = jnp.clip(bx, 0, wb - 1).astype(jnp.int32)
 
+    # Row pairing: pick copy A (dby < 16) or copy B (dby >= 16) so the
+    # 16 wanted rows fit in one 32-row aligned fetch.
+    by_blk = by // _ROW_ALIGN  # 32-row block index (kernel re-scales)
+    dby = by % _ROW_ALIGN
+    use_b = dby >= 16
+    nch = c * t * t + 1
+    cidx2 = cprime + jnp.where(use_b, nch, 0)
+    roll_rows = (_ROWS - (dby & 15)) % _ROWS  # row roll amount
+
+    # Dynamic trip count: last valid feature + 1, zeroed when inactive.
+    rev_first = jnp.argmax(valid_sel[:, ::-1].astype(jnp.int32), axis=1)
+    has_any = jnp.any(valid_sel, axis=1)
+    nf_trip = jnp.where(has_any, f - rev_first, 0).astype(jnp.int32)
+    if active is not None:
+        nf_trip = jnp.where(active, nf_trip, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(k,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
             (1, window, window), lambda kk, *_: (kk, 0, 0), memory_space=pltpu.VMEM
         ),
+        # Allocated once per launch (a per-program run_scoped costs tens
+        # of us per grid step).
+        scratch_shapes=[
+            pltpu.VMEM((_NBUF, _ROWS, wbp), jnp.uint8),
+            pltpu.VMEM((window, wbp), jnp.int32),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
+        ],
     )
     scores = pl.pallas_call(
-        functools.partial(_refine_kernel, window, f, wbp),
+        functools.partial(_refine_kernel, window, wbp, wb),
         out_shape=jax.ShapeDtypeStruct((k, window, window), jnp.float32),
         grid_spec=grid_spec,
-    )(cprime, by, bx, pads)
+    )(nf_trip, cidx2, by_blk, roll_rows, bx, pads)
     return scores, jnp.sum(ok, axis=1).astype(jnp.int32)

@@ -81,12 +81,16 @@ def gaussian_blur7_u8(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sobel3(img_u8: jnp.ndarray):
-    """3x3 Sobel dx, dy (replicate border) on (H, W, C) uint8 -> int32."""
+    """3x3 Sobel dx, dy (replicate border) on (C, H, W) uint8 -> int32.
+
+    Channel-major so H/W stay the (sublane, lane) dims — a minor channel
+    dim would pad 3 up to 128 lanes and run ~40x more memory traffic.
+    """
     x = img_u8.astype(jnp.int32)
-    p = jnp.pad(x, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), mode="edge")
 
     def sh(dy, dx):
-        return p[1 + dy : p.shape[0] - 1 + dy, 1 + dx : p.shape[1] - 1 + dx]
+        return p[:, 1 + dy : p.shape[1] - 1 + dy, 1 + dx : p.shape[2] - 1 + dx]
 
     # smooth = [1,2,1], diff = [-1,0,1]
     dx = (
@@ -115,17 +119,20 @@ def quantize_color_gradient(rgb: jnp.ndarray, weak_threshold: float = 10.0):
         channel (used for template extraction).
     """
     h, w, _ = rgb.shape
-    blurred = gaussian_blur7_u8(rgb)
+    blurred = jnp.moveaxis(gaussian_blur7_u8(rgb), -1, 0)  # (3, H, W)
     dx, dy = _sobel3(blurred)
-    mag = (dx * dx + dy * dy).astype(jnp.float32)  # per channel, squared
+    mag = (dx * dx + dy * dy).astype(jnp.float32)  # (3, H, W), squared
 
     # Channel with max squared magnitude (ties -> lowest channel index,
-    # same as the reference's >= cascade, cpp:393-417).
-    ch = jnp.argmax(mag, axis=-1)
-    take = lambda a: jnp.take_along_axis(a, ch[..., None], axis=-1)[..., 0]
-    best_dx = take(dx)
-    best_dy = take(dy)
-    best_mag = take(mag)
+    # same as the reference's >= cascade, cpp:393-417).  Strict-greater
+    # cascade over the 3 planes keeps the earlier channel on ties and
+    # avoids a minor-dim argmax/take_along_axis (lane-padding waste).
+    best_dx, best_dy, best_mag = dx[0], dy[0], mag[0]
+    for c in (1, 2):
+        better = mag[c] > best_mag
+        best_dx = jnp.where(better, dx[c], best_dx)
+        best_dy = jnp.where(better, dy[c], best_dy)
+        best_mag = jnp.where(better, mag[c], best_mag)
 
     # Orientation in degrees [0, 360), 16 bins folded to 8.
     ang = jnp.degrees(jnp.arctan2(best_dy.astype(jnp.float32), best_dx.astype(jnp.float32)))
@@ -141,15 +148,17 @@ def quantize_color_gradient(rgb: jnp.ndarray, weak_threshold: float = 10.0):
     bins8 = jnp.where(interior, bins8, 0)
     # Border pixels vote as bin 0 exactly like the reference's zeroed frame.
 
-    # 3x3 histogram vote over the 8 folded bins.
-    onehot = jax.nn.one_hot(bins8, 8, dtype=jnp.int32)  # (H, W, 8)
-    ph = jnp.pad(onehot, ((1, 1), (1, 1), (0, 0)))
-    votes = jnp.zeros_like(onehot)
-    for dy_ in (-1, 0, 1):
-        for dx_ in (-1, 0, 1):
-            votes = votes + ph[1 + dy_ : h + 1 + dy_, 1 + dx_ : w + 1 + dx_]
-    top_bin = jnp.argmax(votes, axis=-1)
-    top_votes = jnp.max(votes, axis=-1)
+    # 3x3 histogram vote over the 8 folded bins, one (H, W) plane per bin
+    # (separable box sum; first-max-wins like argmax).
+    top_votes = jnp.zeros((h, w), jnp.int32)
+    top_bin = jnp.zeros((h, w), jnp.int32)
+    for b in range(8):
+        eq = jnp.pad((bins8 == b).astype(jnp.int32), 1)
+        rows3 = eq[0 : h, :] + eq[1 : h + 1, :] + eq[2 : h + 2, :]
+        votes_b = rows3[:, 0:w] + rows3[:, 1 : w + 1] + rows3[:, 2 : w + 2]
+        better = votes_b > top_votes
+        top_bin = jnp.where(better, b, top_bin)
+        top_votes = jnp.maximum(votes_b, top_votes)
 
     strong = best_mag > (weak_threshold * weak_threshold)
     accept = strong & (top_votes >= 5) & interior
@@ -220,7 +229,32 @@ def quantize_depth_normal(
     interior = (row >= r) & (row < h - r - 1) & (col >= r) & (col < w - r - 1)
     valid = interior & (d < distance_threshold) & (norm > 0)
     quantized = jnp.where(valid, byte, jnp.uint8(0))
-    return median5x5_u8(quantized)
+    return median5x5_onehot_u8(quantized)
+
+
+def median5x5_onehot_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """5x5 median filter for images whose bytes are one-hot or zero
+    (values in {0, 1, 2, 4, ..., 128}), e.g. quantized orientations.
+
+    Exact 13th order statistic via counting: median = smallest value v
+    with count(pixels <= v in the 5x5 window) >= 13.  9 candidate values
+    x a separable box count is ~100 cheap (H, W) passes — versus a full
+    25-element sort network for the generic median (~10x slower on VPU).
+    """
+    h, w = img.shape
+    p = jnp.pad(img, 2, mode="edge")
+    cum = jnp.zeros((h, w), jnp.int32)
+    cums = []
+    for v in (0, 1, 2, 4, 8, 16, 32, 64):
+        eq = (p == v).astype(jnp.int32)
+        rows5 = sum(eq[dy : h + dy, :] for dy in range(5))
+        cnt = sum(rows5[:, dx : w + dx] for dx in range(5))
+        cum = cum + cnt
+        cums.append(cum)
+    med = jnp.full((h, w), 128, jnp.uint8)
+    for v, c in zip((64, 32, 16, 8, 4, 2, 1, 0), reversed(cums)):
+        med = jnp.where(c >= 13, jnp.uint8(v), med)
+    return med
 
 
 def median5x5_u8(img: jnp.ndarray) -> jnp.ndarray:

@@ -181,10 +181,13 @@ def similarity_dense_pre_s2d(
 def _im2col_s2d(response_maps: jnp.ndarray, t: int, khb: int, kwb: int):
     """Unfold s2d response maps into im2col rows.
 
-    Returns (P, Ho, Wo) with P of shape (C*t*t*khb*kwb, Ho*Wo): row
-    c'*(khb*kwb) + dy*kwb + dx holds maps_s2d[c', dy:dy+Ho, dx:dx+Wo]
+    Returns (P, Ho, Wo) with P of shape (khb*kwb*C*t*t, Ho*Wo): row
+    (dy*kwb + dx)*C*t*t + c' holds maps_s2d[c', dy:dy+Ho, dx:dx+Wo]
     flattened, i.e. the response of channel c' under a feature at block
-    offset (dy, dx) for every stride-t template placement.
+    offset (dy, dx) for every stride-t template placement.  The (dy, dx)
+    index is MAJOR so each stacked slice is a plain strided copy — a
+    channel-major layout would transpose every slice (measured ~5x
+    slower to build).
     """
     maps = _s2d_maps(response_maps, t)  # (C*t*t, Hb, Wb)
     ct2, hb, wb = maps.shape
@@ -195,9 +198,9 @@ def _im2col_s2d(response_maps: jnp.ndarray, t: int, khb: int, kwb: int):
             for dy in range(khb)
             for dx in range(kwb)
         ],
-        axis=1,
-    )  # (C*t*t, khb*kwb, Ho, Wo)
-    return blocks.reshape(ct2 * khb * kwb, ho * wo), ho, wo
+        axis=0,
+    )  # (khb*kwb, C*t*t, Ho, Wo)
+    return blocks.reshape(khb * kwb * ct2, ho * wo), ho, wo
 
 
 @functools.partial(jax.jit, static_argnames=("t", "kh", "kw"))
@@ -248,13 +251,38 @@ def similarity_multiscale_sparse(
         cs = feats[..., 2]
         ok = valid & (xs >= 0) & (xs < kw) & (ys >= 0) & (ys < kh) & (sc > 0)
         cprime = cs * (t * t) + (ys % t) * t + (xs % t)
-        idx = cprime * (khb * kwb) + (ys // t) * kwb + (xs // t)
+        # P layout is (dy, dx)-major (see _im2col_s2d).
+        ct2 = response_maps.shape[0] * t * t
+        idx = ((ys // t) * kwb + (xs // t)) * ct2 + cprime
         return jnp.where(ok, idx, zero_row), ok
 
     idxs, oks = jax.vmap(per_scale)(scales)  # (S, N, F)
     s, n, f = idxs.shape
-    g = jnp.take(p, idxs.reshape(-1), axis=0)  # (S*N*F, Ho*Wo) uint8
-    raw = jnp.sum(g.reshape(s * n, f, ho * wo).astype(jnp.int32), axis=1)
+    # Gather rows as packed 32-bit words: TPU row gathers of narrow uint8
+    # rows run near scalar speed (~3 GB/s measured); 4-byte elements with
+    # a 128-multiple row width hit the vector path.  Responses are 0..4,
+    # so each word holds 4 byte lanes that sum independently as long as
+    # no lane exceeds 255 — accumulate words in chunks of <= 63 features
+    # (4 * 63 = 252), unpack each chunk's byte lanes, then sum chunks.
+    cols = p.shape[1]
+    cols_pad = _ceil_to(cols, 4 * 128)
+    w = cols_pad // 4
+    p32 = jax.lax.bitcast_convert_type(
+        jnp.pad(p, ((0, 0), (0, cols_pad - cols))).reshape(-1, w, 4),
+        jnp.uint32,
+    )  # (rows, w) packed little-endian
+    g = jnp.take(p32, idxs.reshape(-1), axis=0).reshape(s * n, f, w)
+    chunk = 63
+    nch = -(-f // chunk)
+    g = jnp.pad(g, ((0, 0), (0, nch * chunk - f), (0, 0)))
+    word_sums = jnp.sum(
+        g.reshape(s * n, nch, chunk, w), axis=2, dtype=jnp.uint32
+    )  # (S*N, nch, w); byte lanes exact (each <= 252)
+    lanes = [
+        jnp.sum((word_sums >> (8 * b)) & 0xFF, axis=1, dtype=jnp.int32)
+        for b in range(4)
+    ]  # 4 x (S*N, w)
+    raw = jnp.stack(lanes, axis=-1).reshape(s * n, cols_pad)[:, : ho * wo]
     nfeat = jnp.sum(oks, axis=2).reshape(s * n).astype(jnp.int32)
     return raw.reshape(s * n, ho, wo).astype(jnp.float32), nfeat
 
@@ -426,11 +454,14 @@ def similarity_local_sparse(
 
 
 def similarity_local_sparse_auto(
-    response_maps, feats_sel, valid_sel, origins, t, window: int = 16, scale=None
+    response_maps, feats_sel, valid_sel, origins, t, window: int = 16,
+    scale=None, active=None,
 ):
     """Backend dispatch for the sparse local refinement: the Pallas
-    double-buffered DMA kernel on TPU (6.4x the XLA gather lowering,
-    bit-exact — tests/test_pallas.py), the XLA version elsewhere."""
+    double-buffered DMA kernel on TPU (bit-exact vs the XLA lowering —
+    tests/test_pallas.py — and skips dead candidates/padded features),
+    the XLA version elsewhere.  ``active`` marks candidates whose output
+    is consumed; inactive ones may return zeros."""
     backend = jax.default_backend()
     if backend in ("tpu", "axon"):
         from sixdpose_tpu.ops.pallas.local_refine import (
@@ -438,7 +469,8 @@ def similarity_local_sparse_auto(
         )
 
         return similarity_local_sparse_pallas(
-            response_maps, feats_sel, valid_sel, origins, t, window, scale
+            response_maps, feats_sel, valid_sel, origins, t, window, scale,
+            active,
         )
     return similarity_local_sparse(
         response_maps, feats_sel, valid_sel, origins, t, window, scale

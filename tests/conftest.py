@@ -17,8 +17,10 @@ import jax
 
 # Select CPU via the config API: a plain JAX_PLATFORMS env var is not enough
 # here because the TPU-tunnel sitecustomize registers its backend at
-# interpreter start.
-jax.config.update("jax_platforms", "cpu")
+# interpreter start.  SIXDPOSE_TEST_TPU=1 opts into running the suite on
+# the real accelerator (e.g. the Pallas kernel equivalence tests).
+if not os.environ.get("SIXDPOSE_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

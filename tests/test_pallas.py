@@ -47,3 +47,34 @@ def test_pallas_refine_matches_xla(rng):
     )
     assert (np.asarray(a_c) == np.asarray(b_c)).all()
     assert np.allclose(np.asarray(a_s), np.asarray(b_s))
+
+
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="Pallas TPU kernel needs TPU hardware (validated there)",
+)
+def test_pallas_refine_active_mask(rng):
+    """Inactive candidates return zeros; active ones are unchanged."""
+    from sixdpose_tpu.ops.pallas.local_refine import similarity_local_sparse_pallas
+
+    t = 4
+    rm = rng.integers(0, 5, (8, 128, 128)).astype(np.uint8)
+    K, F = 8, 16
+    feats = np.stack(
+        [rng.integers(0, 30, (K, F)), rng.integers(0, 30, (K, F)),
+         rng.integers(0, 8, (K, F))], -1).astype(np.int32)
+    valid = np.ones((K, F), bool)
+    valid[:, 10:] = False  # padded tail
+    org = (rng.integers(0, 8, (K, 2)) * t).astype(np.int32)
+    active = np.array([True, False] * (K // 2))
+
+    full_s, full_c = similarity_local_sparse_pallas(
+        jnp.asarray(rm), jnp.asarray(feats), jnp.asarray(valid),
+        jnp.asarray(org), t)
+    act_s, act_c = similarity_local_sparse_pallas(
+        jnp.asarray(rm), jnp.asarray(feats), jnp.asarray(valid),
+        jnp.asarray(org), t, active=jnp.asarray(active))
+    full_s, act_s = np.asarray(full_s), np.asarray(act_s)
+    assert np.allclose(act_s[active], full_s[active])
+    assert (act_s[~active] == 0).all()
+    assert (np.asarray(act_c) == np.asarray(full_c)).all()  # counts unaffected

@@ -117,3 +117,13 @@ def test_median5x5(rng):
     ours = np.asarray(Q.median5x5_u8(jnp.asarray(img)))
     ref = cv2.medianBlur(img, 5)
     assert (ours[2:-2, 2:-2] == ref[2:-2, 2:-2]).mean() > 0.999
+
+
+def test_median5x5_onehot_matches_generic(rng):
+    from sixdpose_tpu.ops.quantize import median5x5_onehot_u8, median5x5_u8
+
+    vals = np.array([0, 1, 2, 4, 8, 16, 32, 64, 128], np.uint8)
+    img = vals[rng.integers(0, len(vals), (37, 53))]
+    a = np.asarray(median5x5_onehot_u8(jnp.asarray(img)))
+    b = np.asarray(median5x5_u8(jnp.asarray(img)))
+    assert (a == b).all()
