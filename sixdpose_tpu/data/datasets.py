@@ -158,13 +158,25 @@ def get_dataset_params(
 # the standard Kinect-style calibration used by the SIXD hinterstoisser
 # set otherwise).
 _BUILTIN_CAMS = {
+    # t_less_toolkit/cam/camera_primesense.yml (CARMINE 1.09)
     ("tless", "primesense"): dict(
         fx=1075.65091572, fy=1073.90347929, cx=641.068883438, cy=507.72159802,
         width=1280, height=1024, depth_scale=0.1,
     ),
+    # t_less_toolkit/cam/camera_kinect.yml (Kinect v2)
     ("tless", "kinect"): dict(
-        fx=1076.74064739, fy=1075.17825536, cx=641.068883438, cy=507.72159802,
-        width=1280, height=1024, depth_scale=0.1,
+        fx=1076.74064739, fy=1075.17825536, cx=971.982649675, cy=541.591818362,
+        width=1920, height=1080, depth_scale=0.1,
+    ),
+    # t_less_toolkit/cam/camera_canon_1.yml (IXUS 950 IS, zoom 1; RGB only)
+    ("tless", "canon_1"): dict(
+        fx=3630.26229559, fy=3627.6973661, cx=1663.14577835, cy=1187.22160257,
+        width=3264, height=2448, depth_scale=1.0,
+    ),
+    # t_less_toolkit/cam/camera_canon_3.yml (IXUS 950 IS, zoom 3; RGB only)
+    ("tless", "canon_3"): dict(
+        fx=4781.91740099, fy=4778.72123643, cx=1663.66974847, cy=1149.86220751,
+        width=3264, height=2448, depth_scale=1.0,
     ),
 }
 _BUILTIN_DEFAULT_CAM = {

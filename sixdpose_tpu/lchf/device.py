@@ -74,6 +74,129 @@ class DeviceRoiSet:
         return np.asarray(sims)[:j]
 
 
+class DeviceForest:
+    """Whole-forest scene prediction as one jit dispatch per tree.
+
+    ``DeviceRoiSet.sim_rows`` still round-trips host<->device once per
+    tree NODE (and the readbacks degrade tunneled devices to synchronous
+    dispatch).  Here the level-synchronous walk itself is compiled: each
+    ROI carries its current node id; one fori_loop step gathers every
+    ROI's pivot-patch feature table, evaluates the similarity, and
+    advances to the chosen child — leaves self-loop.  max_depth steps
+    retire the whole tree with zero intermediate readbacks.
+
+    Semantics identical to forest.Tree.predict over
+    feature.similarity_one_to_many (forest.h:497-512, lchf.cpp:716-792).
+    """
+
+    def __init__(self, model, z_check: float = 200.0):
+        self.z_check = float(z_check)
+        self.max_depth = max(t.max_depth for t in model.forest.trees)
+        # Padded pivot-patch tables (shared across trees).
+        patches = model.patches
+        fmax = max(len(p.features) for p in patches)
+        n = len(patches)
+        feats = np.zeros((n, fmax, 3), np.int32)
+        valid = np.zeros((n, fmax), bool)
+        zrel = np.zeros((n, fmax), np.float32)
+        centers = np.zeros((n,), np.float32)
+        shapes = np.zeros((n, 2), np.int32)
+        for i, p in enumerate(patches):
+            f = len(p.features)
+            feats[i, :f] = p.features
+            valid[i, :f] = True
+            zrel[i, :f] = p.z_rel
+            centers[i] = p.center_dep
+            shapes[i] = p.shape
+        self.p_feats = jnp.asarray(feats)
+        self.p_valid = jnp.asarray(valid)
+        self.p_zrel = jnp.asarray(zrel)
+        self.p_center = jnp.asarray(centers)
+        self.p_shape = jnp.asarray(shapes)
+        # Per-tree node tables.
+        self.trees = []
+        for tree in model.forest.trees:
+            nn = len(tree.nodes)
+            split = np.zeros((nn,), np.int32)
+            thresh = np.zeros((nn,), np.float32)
+            leaf = np.zeros((nn,), bool)
+            child = np.zeros((nn, 2), np.int32)
+            for i, nd in enumerate(tree.nodes):
+                split[i] = nd.split_feat_idx
+                thresh[i] = nd.simi_thresh
+                leaf[i] = nd.isleafnode
+                child[i] = nd.cnodes
+            self.trees.append(
+                (jnp.asarray(split), jnp.asarray(thresh), jnp.asarray(leaf),
+                 jnp.asarray(child))
+            )
+
+    def predict(self, roi_set: PatchSet) -> np.ndarray:
+        """Leaf id per (roi, tree): (M, T) int64, one dispatch per tree."""
+        responses = jnp.asarray(roi_set.responses)
+        z_avg = jnp.asarray(roi_set.z_avg)
+        center = jnp.asarray(roi_set.center)
+        outs = [
+            _walk_tree_jit(
+                split, thresh, leaf, child,
+                self.p_feats, self.p_valid, self.p_zrel, self.p_center,
+                self.p_shape, responses, z_avg, center,
+                self.z_check, self.max_depth,
+            )
+            for (split, thresh, leaf, child) in self.trees
+        ]
+        return np.stack([np.asarray(o) for o in outs], axis=1).astype(np.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("z_check", "max_depth"))
+def _walk_tree_jit(
+    split, thresh, leaf, child,
+    p_feats, p_valid, p_zrel, p_center, p_shape,
+    responses, z_avg, centers, z_check: float, max_depth: int,
+):
+    m = responses.shape[0]
+    jh, jw = z_avg.shape[1:]
+    roi = jnp.arange(m)
+    cj = centers  # (M,)
+
+    def sim_to_own_pivot(pivot):
+        """similarity(patches[pivot[i]] -> roi i) for all i at once."""
+        f3 = p_feats[pivot]                       # (M, F, 3)
+        val = p_valid[pivot]
+        zr = p_zrel[pivot]
+        ca = p_center[pivot]                      # (M,)
+        sh = p_shape[pivot]                       # (M, 2)
+        x = f3[..., 0].astype(jnp.float32)
+        y = f3[..., 1].astype(jnp.float32)
+        c = f3[..., 2]
+        ratio = (ca / jnp.maximum(cj, 1e-6))[:, None]
+        nx = (x * ratio).astype(jnp.int32)
+        ny = (y * ratio).astype(jnp.int32)
+        inb = (
+            val
+            & (y < sh[:, 0:1]) & (x < sh[:, 1:2])
+            & (ny < jh) & (nx < jw) & (ny >= 0) & (nx >= 0)
+        )
+        nxc = jnp.clip(nx, 0, jw - 1)
+        nyc = jnp.clip(ny, 0, jh - 1)
+        rr = roi[:, None]
+        z2 = cj[:, None] - z_avg[rr, nyc, nxc]
+        z_ok = jnp.abs(zr - z2) < z_check
+        resp = responses[rr, c, nyc, nxc].astype(jnp.float32)
+        score = jnp.sum(jnp.where(inb & z_ok, resp, 0.0), axis=1)
+        count = jnp.sum(inb, axis=1)
+        sim = jnp.where(count > 0, score / jnp.maximum(count, 1) / 4.0 * 100.0, 0.0)
+        return jnp.where((cj > 0) & (ca > 0), sim, 0.0)
+
+    def step(i, node):
+        sims = sim_to_own_pivot(split[node])
+        go_left = sims <= thresh[node]
+        nxt = jnp.where(go_left, child[node, 0], child[node, 1])
+        return jnp.where(leaf[node], node, nxt)
+
+    return jax.lax.fori_loop(0, max_depth, step, jnp.zeros((m,), jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("z_check",))
 def _sim_rows_jit(
     feats, valid, zrel, center_a, shape_a,

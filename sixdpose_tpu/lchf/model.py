@@ -196,15 +196,17 @@ def predict_scene(
 
     ROIs traverse each tree level-synchronously so every node's pivot
     similarity is computed for its whole cohort in one vectorized call.
-    ``device=True`` stages the ROI set on the accelerator and evaluates
-    each cohort with one jit call (lchf/device.py).
+    ``device=True`` compiles the ENTIRE tree walk into one jit dispatch
+    per tree (lchf/device.py DeviceForest): every ROI carries its node
+    id and the per-level similarity gathers its own pivot's features —
+    no host round trips between levels.
     """
     m = roi_set.responses.shape[0]
-    dset = None
     if device:
-        from sixdpose_tpu.lchf.device import DeviceRoiSet
+        from sixdpose_tpu.lchf.device import DeviceForest
 
-        dset = DeviceRoiSet(roi_set, model.patches, cfg.z_check)
+        return DeviceForest(model, cfg.z_check).predict(roi_set).tolist()
+    dset = None
     out = np.zeros((m, len(model.forest.trees)), np.int64)
     for ti, tree in enumerate(model.forest.trees):
         cohort = {0: np.arange(m)}

@@ -445,6 +445,120 @@ class TemplateBank:
             payload[f"info|{cid}"] = np.array(self.infos[cid], dtype=object)
         np.savez_compressed(path, **payload)
 
+    # -- orbax sharded checkpointing -----------------------------------------
+    #
+    # SURVEY.md §5: "the template bank becomes a sharded array checkpoint
+    # (orbax-style), keyed by (object, view, scale)".  npz is fine below
+    # ~1 GB; for very large multi-object banks the orbax format stores
+    # each class's padded feature arrays as (possibly sharded) tensors
+    # that restore directly onto a device mesh.
+
+    def to_padded_arrays(self) -> Dict[str, Dict[str, np.ndarray]]:
+        """Per class: dense padded arrays keyed by (template, level).
+
+        feats: (N, L, F, 3) int32; valid: (N, L, F) bool;
+        whp: (N, L, 3) int32 (width, height, pyramid_level).
+        """
+        out = {}
+        for cid in self.class_ids():
+            tmpls = self.templates[cid]
+            n = len(tmpls)
+            levels = max(len(t) for t in tmpls)
+            fmax = max(len(lev.features) for t in tmpls for lev in t)
+            feats = np.zeros((n, levels, fmax, 3), np.int32)
+            valid = np.zeros((n, levels, fmax), bool)
+            whp = np.zeros((n, levels, 3), np.int32)
+            for i, t in enumerate(tmpls):
+                for l, lev in enumerate(t):
+                    f = len(lev.features)
+                    feats[i, l, :f] = lev.features
+                    valid[i, l, :f] = True
+                    whp[i, l] = (lev.width, lev.height, lev.pyramid_level)
+            out[cid] = {"feats": feats, "valid": valid, "whp": whp}
+        return out
+
+    def save_orbax(self, path: str) -> None:
+        """Checkpoint the bank as an orbax directory (sharded-restorable)."""
+        import json
+        import os
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        tree = self.to_padded_arrays()
+        with ocp.PyTreeCheckpointer() as ckpt:
+            ckpt.save(os.path.join(path, "arrays"), tree)
+        meta = {
+            "classes": self.class_ids(),
+            "infos": {cid: self.infos[cid] for cid in self.class_ids()},
+            "config": repr(self.cfg),
+        }
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(
+                meta, fh,
+                default=lambda o: o.tolist() if hasattr(o, "tolist") else str(o),
+            )
+
+    @classmethod
+    def load_orbax(
+        cls,
+        path: str,
+        cfg: DetectorConfig,
+        sharding=None,
+    ) -> "TemplateBank":
+        """Restore a bank saved by ``save_orbax``.
+
+        ``sharding``: optional ``jax.sharding.Sharding`` applied to every
+        class's padded arrays on restore (e.g. NamedSharding over the
+        'template' mesh axis, sharding dim 0 = templates) — arrays land
+        directly on the mesh without a host copy per device.
+        """
+        import json
+        import os
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        with ocp.PyTreeCheckpointer() as ckpt:
+            if sharding is not None:
+                restore_args = {
+                    cid: {
+                        k: ocp.type_handlers.ArrayRestoreArgs(sharding=sharding)
+                        for k in ("feats", "valid", "whp")
+                    }
+                    for cid in meta["classes"]
+                }
+                tree = ckpt.restore(
+                    os.path.join(path, "arrays"), restore_args=restore_args
+                )
+            else:
+                tree = ckpt.restore(os.path.join(path, "arrays"))
+        bank = cls(cfg)
+        for cid in meta["classes"]:
+            arrs = tree[cid]
+            feats = np.asarray(arrs["feats"])
+            valid = np.asarray(arrs["valid"])
+            whp = np.asarray(arrs["whp"])
+            infos = meta["infos"].get(cid, [])
+            for i in range(feats.shape[0]):
+                levels = []
+                for l in range(feats.shape[1]):
+                    f = valid[i, l].sum()
+                    levels.append(
+                        TemplateLevel(
+                            features=feats[i, l, :f].copy(),
+                            width=int(whp[i, l, 0]),
+                            height=int(whp[i, l, 1]),
+                            pyramid_level=int(whp[i, l, 2]),
+                        )
+                    )
+                bank.add_template_levels(
+                    cid, levels, infos[i] if i < len(infos) else {}
+                )
+        return bank
+
     @classmethod
     def load(cls, path: str, cfg: DetectorConfig) -> "TemplateBank":
         bank = cls(cfg)

@@ -17,6 +17,7 @@ from sixdpose_tpu.seg.dasp import (
     pixel_stage,
 )
 from sixdpose_tpu.seg.registration import pose_estimation
+from sixdpose_tpu.seg.slic import superpixels_asp, superpixels_slic
 
 __all__ = [
     "DaspConfig",
@@ -26,6 +27,8 @@ __all__ = [
     "convex_grouping",
     "convex_cloud_seg",
     "pose_estimation",
+    "superpixels_slic",
+    "superpixels_asp",
 ]
 
 

@@ -99,3 +99,36 @@ def test_pose_estimation_rejects_garbage():
     T, lcp = pose_estimation(scene, model, delta=1.0, num_hyp=512, seed=2)
     if lcp <= 0.5:
         assert (T == 0).all()
+
+
+def test_slic_superpixels():
+    from sixdpose_tpu.seg.slic import superpixels_slic
+
+    rng = np.random.default_rng(3)
+    rgb = np.zeros((64, 96, 3), np.uint8)
+    rgb[:, :48] = (220, 40, 40)
+    rgb[:, 48:] = (40, 40, 220)
+    rgb = np.clip(rgb.astype(np.int16) + rng.integers(-8, 8, rgb.shape), 0, 255).astype(np.uint8)
+    idx, sp = superpixels_slic(rgb, num_superpixels=24)
+    assert idx.shape == (64, 96)
+    assigned = idx >= 0
+    assert assigned.mean() > 0.98
+    # Superpixels should not straddle the color boundary: every superpixel's
+    # pixels are (almost) entirely one side.
+    for s in np.unique(idx[assigned]):
+        cols = (np.nonzero(idx == s)[1] < 48)
+        assert cols.mean() < 0.05 or cols.mean() > 0.95, s
+
+
+def test_asp_superpixels_density():
+    from sixdpose_tpu.seg.slic import superpixels_asp
+
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    density = np.full((64, 64), 4.0 / (64 * 64), np.float32)
+    density[:, 32:] *= 8  # denser superpixels on the right
+    idx, sp = superpixels_asp(rgb, density)
+    assigned = idx >= 0
+    left = len(np.unique(idx[:, :32][assigned[:, :32]]))
+    right = len(np.unique(idx[:, 32:][assigned[:, 32:]]))
+    assert right > left
