@@ -77,6 +77,9 @@ class IcpConfig:
     voxel_size: float = 0.0025       # reference voxel downsample (cpp:106)
     dilate_px: int = 4               # model mask dilation (cpp:45-46)
     anchor_window: float = 0.4       # scene-centroid depth window, m (cpp:93)
+    coarse_gate_mult: float = 3.0    # gate schedule: starts at mult*corr_dist,
+    #                                  decays geometrically to corr_dist by the
+    #                                  last iteration (coarse->fine re-gating)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,11 +53,7 @@ class ScaleMatch(Match):
     scale: float = 1.0
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "num_scales", "kdims"),
-)
-def _multiscale_detect(
+def multiscale_detect_core(
     rgb,
     depth,
     feats: Tuple[jnp.ndarray, ...],
@@ -68,8 +64,10 @@ def _multiscale_detect(
     threshold: float,
     num_scales: int,
     kdims: Tuple[Tuple[int, int], ...],
+    apply_nms: bool = True,
 ):
-    """Fused multi-scale detection.
+    """Traceable multi-scale detection (no jit wrapper — compose under
+    shard_map / vmap; use ``_multiscale_detect`` standalone).
 
     Args:
       feats/valids/whs: per-level padded feature arrays ((N, F, 3), (N, F),
@@ -163,12 +161,38 @@ def _multiscale_detect(
     wh0 = jnp.round(
         whs[0][tmpl_idx].astype(jnp.float32) * cand_scale[:, None]
     ).astype(jnp.float32)
-    boxes = jnp.concatenate(
-        [x[:, None].astype(jnp.float32), y[:, None].astype(jnp.float32), wh0],
-        axis=1,
-    )
-    keep = nms_boxes(boxes, score, cfg.nms_iou)
+    if apply_nms:
+        boxes = jnp.concatenate(
+            [x[:, None].astype(jnp.float32), y[:, None].astype(jnp.float32), wh0],
+            axis=1,
+        )
+        keep = nms_boxes(boxes, score, cfg.nms_iou)
+    else:
+        keep = score >= 0
     return tmpl_idx, x, y, score, keep, depths[scale_idx], cand_scale
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_scales", "kdims"),
+)
+def _multiscale_detect(
+    rgb,
+    depth,
+    feats,
+    valids,
+    whs,
+    bin_scales,
+    cfg: DetectorConfig,
+    threshold: float,
+    num_scales: int,
+    kdims: Tuple[Tuple[int, int], ...],
+):
+    """Fused multi-scale detection (jit wrapper of the core)."""
+    return multiscale_detect_core(
+        rgb, depth, feats, valids, whs, bin_scales, cfg, threshold,
+        num_scales, kdims,
+    )
 
 
 class MultiScaleDetector:

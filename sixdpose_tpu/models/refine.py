@@ -157,6 +157,7 @@ def icp_point_to_plane(
     init_T: jnp.ndarray,
     corr_dist: float = 0.01,
     max_iters: int = 20,
+    coarse_gate_mult: float = 3.0,
 ):
     """Projective point-to-plane ICP for one candidate.
 
@@ -167,25 +168,62 @@ def icp_point_to_plane(
       scene_nrm: (H, W, 3) scene normal map.
       scene_K: (3, 3) scene intrinsics.
       init_T: (4, 4) initial model->scene transform.
-      corr_dist: correspondence gate in meters (reference threshold, cpp:31).
+      corr_dist: final correspondence gate in meters (reference threshold,
+        cpp:31).
       max_iters: Gauss-Newton iterations.
+      coarse_gate_mult: the gate starts at ``coarse_gate_mult * corr_dist``
+        and decays geometrically to ``corr_dist`` by the last iteration —
+        a coarse->fine re-gating schedule (wide basin early, tight
+        association late; the reference's fixed 0.01 m gate relies on
+        Open3D's NN search having a wide basin already).
 
     Returns (T, fitness, inlier_rmse).
     """
     h, w = scene_pts.shape[:2]
+    valid_w = (scene_pts[..., 2] > 0).astype(jnp.float32)
 
     def lookup(p):
-        """Project points, gather scene point/normal at that pixel."""
+        """Project points; validity-weighted bilinear scene point/normal.
+
+        Bilinear interpolation of the point map (weights zeroed at invalid
+        pixels) removes the half-pixel bias of nearest-pixel association —
+        sub-millimeter at typical working distances but a visible floor on
+        converged rmse.  Normals re-normalize after blending.
+        """
         u = p[:, 0] / p[:, 2] * scene_K[0, 0] + scene_K[0, 2]
         v = p[:, 1] / p[:, 2] * scene_K[1, 1] + scene_K[1, 2]
-        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
-        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
         inb = (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1) & (p[:, 2] > 1e-6)
-        q = scene_pts[vi, ui]
-        n = scene_nrm[vi, ui]
-        return q, n, inb
+        u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 1)
+        v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 1)
+        u1 = jnp.minimum(u0 + 1, w - 1)
+        v1 = jnp.minimum(v0 + 1, h - 1)
+        fu = jnp.clip(u - u0, 0.0, 1.0)[:, None]
+        fv = jnp.clip(v - v0, 0.0, 1.0)[:, None]
+        qs, ns, ws = 0.0, 0.0, 0.0
+        for vi, ui, wgt in (
+            (v0, u0, (1 - fu) * (1 - fv)),
+            (v0, u1, fu * (1 - fv)),
+            (v1, u0, (1 - fu) * fv),
+            (v1, u1, fu * fv),
+        ):
+            wv = wgt * valid_w[vi, ui][:, None]
+            qs = qs + wv * scene_pts[vi, ui]
+            ns = ns + wv * scene_nrm[vi, ui]
+            ws = ws + wv
+        q = qs / jnp.maximum(ws, 1e-9)
+        nn = jnp.linalg.norm(ns, axis=-1, keepdims=True)
+        n = ns / jnp.maximum(nn, 1e-9)
+        # Keep the normal gate's semantics: zero normal when the blended
+        # neighbors carried no/conflicting normals.
+        n = jnp.where(nn > 1e-6, n, 0.0)
+        ok = inb & (ws[:, 0] > 0.5)
+        q = jnp.where(ok[:, None], q, 0.0)
+        return q, n, ok
 
-    def step(_, T):
+    def step(i, T):
+        # Geometric gate decay: mult^(1 - i/(iters-1)) * corr_dist.
+        frac = i.astype(jnp.float32) / jnp.maximum(max_iters - 1, 1)
+        gate = corr_dist * coarse_gate_mult ** (1.0 - frac)
         p = model_pts @ T[:3, :3].T + T[:3, 3]
         q, n, inb = lookup(p)
         d = p - q
@@ -194,7 +232,7 @@ def icp_point_to_plane(
             model_valid
             & inb
             & (q[:, 2] > 0)
-            & (jnp.linalg.norm(d, axis=-1) < corr_dist)
+            & (jnp.linalg.norm(d, axis=-1) < gate)
             & (jnp.linalg.norm(n, axis=-1) > 0.5)
         )
         wgt = good.astype(jnp.float32)
@@ -261,11 +299,13 @@ def icp_batch(
     init_T: jnp.ndarray,         # (K, 4, 4)
     corr_dist: float = 0.01,
     max_iters: int = 20,
+    coarse_gate_mult: float = 3.0,
 ):
     """All K candidates refined in parallel (reference refines top-K matches
     serially, linemod_and_levelup_test.py:354-376)."""
     fn = lambda mp, mv, t0: icp_point_to_plane(
-        mp, mv, scene_pts, scene_nrm, scene_K, t0, corr_dist, max_iters
+        mp, mv, scene_pts, scene_nrm, scene_K, t0, corr_dist, max_iters,
+        coarse_gate_mult,
     )
     return jax.vmap(fn)(model_pts, model_valid, init_T)
 
@@ -401,6 +441,7 @@ class PoseRefiner:
             jnp.asarray(init_T),
             cfg.corr_dist,
             cfg.max_iters,
+            cfg.coarse_gate_mult,
         )
         T = np.asarray(T, np.float64)
 
@@ -461,4 +502,5 @@ def refine_poses(
         jnp.asarray(init_Ts.astype(np.float32)),
         cfg.corr_dist,
         cfg.max_iters,
+        cfg.coarse_gate_mult,
     )

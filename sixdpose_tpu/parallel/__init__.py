@@ -10,6 +10,15 @@ here is new design:
 """
 
 from sixdpose_tpu.parallel.mesh import make_mesh
-from sixdpose_tpu.parallel.sharded_match import sharded_detect, pad_templates
+from sixdpose_tpu.parallel.sharded_match import (
+    pad_templates,
+    sharded_detect,
+    sharded_multiscale_detect,
+)
 
-__all__ = ["make_mesh", "sharded_detect", "pad_templates"]
+__all__ = [
+    "make_mesh",
+    "sharded_detect",
+    "sharded_multiscale_detect",
+    "pad_templates",
+]

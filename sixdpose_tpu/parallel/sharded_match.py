@@ -63,6 +63,8 @@ def sharded_detect(
     whs: Tuple[jnp.ndarray, ...],
     cfg: DetectorConfig,
     threshold: float,
+    feats: Tuple[jnp.ndarray, ...] = None,
+    valids: Tuple[jnp.ndarray, ...] = None,
 ):
     """Detect over a batch of frames on a (data, template[, tile]) mesh.
 
@@ -71,6 +73,9 @@ def sharded_detect(
       depth_batch: (B, H, W) uint16 or None.
       kernels/nfeats/whs: per-level bank arrays; template axis divisible
         by mesh 'template' size (use ``pad_templates``).
+      feats/valids: optional per-level padded feature lists ((N, F, 3),
+        (N, F)) sharded like the kernels — enables the feature-sparse
+        scoring/refinement paths (Pallas on TPU).
 
     Returns (tid, x, y, score, keep): (B, K) arrays.
     """
@@ -78,6 +83,7 @@ def sharded_detect(
     top_k = cfg.top_k
 
     has_depth = depth_batch is not None
+    has_sparse = feats is not None
 
     @functools.partial(
         jax.shard_map,
@@ -88,11 +94,13 @@ def sharded_detect(
             P("template"),
             P("template"),
             P("template"),
+            P("template") if has_sparse else None,
+            P("template") if has_sparse else None,
         ),
         out_specs=P("data"),
         check_vma=False,
     )
-    def step(rgb_s, dep_s, kern_s, nf_s, wh_s):
+    def step(rgb_s, dep_s, kern_s, nf_s, wh_s, feat_s, val_s):
         n_local = kern_s[0].shape[0]
         t_idx = jax.lax.axis_index("template")
 
@@ -106,6 +114,8 @@ def sharded_detect(
                 cfg,
                 threshold,
                 apply_nms=False,
+                feats=feat_s,
+                valids=val_s,
             )
             return tid + t_idx * n_local, x, y, score
 
@@ -137,6 +147,8 @@ def sharded_detect(
         kernels,
         nfeats,
         whs,
+        feats if has_sparse else None,
+        valids if has_sparse else None,
     )
 
 
@@ -144,9 +156,83 @@ def sharded_detect_jit(mesh, cfg, threshold):
     """Returns a jitted closure of sharded_detect for repeated use."""
 
     @functools.partial(jax.jit, static_argnames=())
-    def fn(rgb_batch, depth_batch, kernels, nfeats, whs):
+    def fn(rgb_batch, depth_batch, kernels, nfeats, whs, feats=None, valids=None):
         return sharded_detect(
-            mesh, rgb_batch, depth_batch, kernels, nfeats, whs, cfg, threshold
+            mesh, rgb_batch, depth_batch, kernels, nfeats, whs, cfg, threshold,
+            feats, valids,
         )
 
     return fn
+
+
+def sharded_multiscale_detect(
+    mesh: Mesh,
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    feats: Tuple[jnp.ndarray, ...],
+    valids: Tuple[jnp.ndarray, ...],
+    whs: Tuple[jnp.ndarray, ...],
+    bin_scales: jnp.ndarray,
+    cfg: DetectorConfig,
+    threshold: float,
+    num_scales: int,
+    kdims,
+):
+    """Multi-scale detection with the bank sharded over ``template``.
+
+    Each shard runs the full fused multiscale pipeline (proposal ->
+    row-gather scoring -> refinement) on its sub-bank, then the per-shard
+    top-K candidates merge with one all_gather + re-top-K and a global
+    NMS — same structure as ``sharded_detect`` (the multiscale tables
+    were previously replicated).
+
+    feats/valids/whs: per-level arrays with the template axis divisible
+    by the mesh 'template' size (``pad_templates``).
+
+    Returns (tid, x, y, score, keep, depth_mm, scale): (K,) arrays with
+    tid in GLOBAL template indices.
+    """
+    from sixdpose_tpu.models.multiscale import multiscale_detect_core
+
+    top_k = cfg.top_k
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(),
+            P("template"),
+            P("template"),
+            P("template"),
+            P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def step(rgb_s, dep_s, feat_s, val_s, wh_s, bs_s):
+        n_local = feat_s[0].shape[0]
+        t_idx = jax.lax.axis_index("template")
+        tid, x, y, score, _keep, dep_mm, scale = multiscale_detect_core(
+            rgb_s, dep_s, feat_s, val_s, wh_s, bs_s, cfg, threshold,
+            num_scales, kdims, apply_nms=False,
+        )
+        tid = tid + t_idx * n_local
+        g = jax.lax.all_gather((tid, x, y, score, dep_mm, scale), "template")
+        gt, gx, gy, gs, gd, gsc = jax.tree.map(lambda a: a.reshape(-1), g)
+        top_score, idx = jax.lax.top_k(gs, top_k)
+        take = lambda a: a[idx]
+        mtid, mx, my, md, msc = take(gt), take(gx), take(gy), take(gd), take(gsc)
+
+        wh0_all = jax.lax.all_gather(wh_s[0], "template").reshape(-1, 2)
+        wh_sel = jnp.round(
+            wh0_all[mtid].astype(jnp.float32) * msc[:, None]
+        ).astype(jnp.float32)
+        boxes = jnp.concatenate(
+            [mx[:, None].astype(jnp.float32), my[:, None].astype(jnp.float32),
+             wh_sel], axis=1,
+        )
+        keep = nms_boxes(boxes, top_score, cfg.nms_iou)
+        return mtid, mx, my, top_score, keep, md, msc
+
+    return step(rgb, depth, feats, valids, whs, bin_scales)

@@ -132,3 +132,45 @@ def test_asp_superpixels_density():
     left = len(np.unique(idx[:, :32][assigned[:, :32]]))
     right = len(np.unique(idx[:, 32:][assigned[:, 32:]]))
     assert right > left
+
+
+def test_pose_estimation_4pcs_occluded():
+    """Planar-base 4PCS must register a heavily occluded segment (only a
+    partial planar patch visible) where the method contract is explicit."""
+    from sixdpose_tpu.seg.registration import pose_estimation
+
+    rng = np.random.default_rng(5)
+    # Model: a box point cloud (mm).
+    xs = np.linspace(-30, 30, 12)
+    ys = np.linspace(-20, 20, 9)
+    zs = np.linspace(-10, 10, 5)
+    faces = []
+    for x in xs:
+        for y in ys:
+            faces += [[x, y, -10], [x, y, 10]]
+    for x in xs:
+        for z in zs:
+            faces += [[x, -20, z], [x, 20, z]]
+    for y in ys:
+        for z in zs:
+            faces += [[-30, y, z], [30, y, z]]
+    model = np.unique(np.array(faces, np.float64), axis=0)
+
+    # Scene: only the top face visible (heavy occlusion), rotated+shifted.
+    th = 0.4
+    R = np.array([
+        [np.cos(th), -np.sin(th), 0],
+        [np.sin(th), np.cos(th), 0],
+        [0, 0, 1.0],
+    ])
+    t = np.array([120.0, -40.0, 500.0])
+    top = model[model[:, 2] > 9.9]
+    seg = top @ R.T + t + rng.normal(0, 0.3, top.shape)
+
+    T, lcp = pose_estimation(seg, model, delta=4.0, min_lcp=0.2, method="4pcs",
+                             seed=3)
+    assert lcp > 0.2, lcp
+    # The registered top face must land on the segment.
+    top_t = top @ T[:3, :3].T + T[:3, 3]
+    d = np.linalg.norm(top_t[:, None, :] - seg[None, :, :], axis=-1).min(1)
+    assert np.median(d) < 5.0, np.median(d)

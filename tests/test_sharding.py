@@ -162,3 +162,124 @@ def test_scaling_efficiency_virtual(trained):
     for size, r in res.items():
         assert r["s_per_step"] > 0
         assert r["efficiency"] > 0
+
+
+def test_sharded_sparse_path_matches_single_device(trained):
+    """Sharded detection with feats/valids (feature-sparse scorer) must
+    agree with single-device matching too."""
+    det, scenes = trained
+    cfg = det.cfg
+    mesh = make_mesh(data=2, template=4)
+
+    kernels, nfeats, whs = det.device_bank("objs")
+    feats, valids = det._device_feats["objs"]
+    kernels = pad_templates(tuple(np.asarray(k) for k in kernels), 4)
+    whs = pad_templates(tuple(np.asarray(w) for w in whs), 4)
+    feats = pad_templates(tuple(np.asarray(f) for f in feats), 4)
+    valids = pad_templates(tuple(np.asarray(v) for v in valids), 4)
+    nfeats_p = []
+    for nf in nfeats:
+        nf = np.asarray(nf)
+        pad = (-len(nf)) % 4
+        nfeats_p.append(np.concatenate([nf, np.ones(pad, nf.dtype)]))
+    nfeats = tuple(nfeats_p)
+
+    tid, x, y, score, keep = sharded_detect(
+        mesh,
+        jnp.asarray(scenes),
+        None,
+        tuple(jnp.asarray(k) for k in kernels),
+        tuple(jnp.asarray(n) for n in nfeats),
+        tuple(jnp.asarray(w) for w in whs),
+        cfg,
+        60.0,
+        feats=tuple(jnp.asarray(f) for f in feats),
+        valids=tuple(jnp.asarray(v) for v in valids),
+    )
+    tid, x, y, score, keep = jax.device_get((tid, x, y, score, keep))
+    for b in range(4):
+        ms = det.match(scenes[b], None, threshold=60.0)
+        top = ms[0]
+        kept = [
+            (int(tid[b, i]), int(x[b, i]), int(y[b, i]), float(score[b, i]))
+            for i in range(tid.shape[1])
+            if keep[b, i] and score[b, i] >= 0
+        ]
+        st, sx, sy, ss = max(kept, key=lambda c: c[3])
+        assert st == top.template_id
+        assert (sx, sy) == (top.x, top.y)
+        assert abs(ss - top.similarity) < 1e-3
+
+
+def test_sharded_multiscale_matches_single_device():
+    """Template-sharded multiscale must agree with the replicated path."""
+    from PIL import Image
+
+    from sixdpose_tpu.models.multiscale import MultiScaleDetector, _multiscale_detect
+    from sixdpose_tpu.parallel.sharded_match import sharded_multiscale_detect
+
+    rng = np.random.default_rng(11)
+    cfg = DetectorConfig(
+        t_at_level=(4, 8), use_depth=False, top_k=16,
+        color=ColorGradientConfig(num_features=24),
+    )
+    det = Detector(cfg)
+    objs = []
+    for i in range(4):
+        obj = np.zeros((40, 40, 3), np.uint8)
+        yy, xx = np.mgrid[0:40, 0:40]
+        m = ((yy - 20) ** 2 + (xx - 20) ** 2) < 256
+        col = [(200, 80, 40), (40, 200, 80), (80, 40, 200), (200, 200, 40)][i]
+        obj[m] = col
+        obj[m & (yy > 20)] = (col[2], 255 - col[1], col[0])
+        train = np.zeros((96, 128, 3), np.uint8)
+        train[28:68, 44:84] = obj
+        mask = np.zeros((96, 128), np.uint8)
+        mask[28:68, 44:84] = m.astype(np.uint8) * 255
+        assert det.add_template("objs", train, None, mask) == i
+        objs.append(obj)
+
+    small = np.asarray(Image.fromarray(objs[2]).resize((24, 24), Image.BILINEAR))
+    scene = np.zeros((96, 128, 3), np.uint8)
+    scene[40:64, 60:84] = small
+    depth = np.full((96, 128), 1000, np.uint16)
+
+    ms = MultiScaleDetector(det, train_depth=600.0, num_scales=3)
+    feats, valids, whs, bs, kdims = ms._feature_arrays("objs")
+    ref = ms.match(scene, depth, 55.0, "objs")
+    assert ref
+
+    mesh = make_mesh(template=4)
+    feats_p = pad_templates(tuple(np.asarray(f) for f in feats), 4)
+    valids_p = pad_templates(tuple(np.asarray(v) for v in valids), 4)
+    whs_p = pad_templates(tuple(np.asarray(w) for w in whs), 4)
+    tid, x, y, score, keep, dmm, scl = jax.device_get(
+        sharded_multiscale_detect(
+            mesh,
+            jnp.asarray(scene),
+            jnp.asarray(depth),
+            tuple(jnp.asarray(f) for f in feats_p),
+            tuple(jnp.asarray(v) for v in valids_p),
+            tuple(jnp.asarray(w) for w in whs_p),
+            bs,
+            cfg,
+            55.0,
+            3,
+            kdims,
+        )
+    )
+    kept = [
+        (int(tid[i]), int(x[i]), int(y[i]), float(score[i]), float(scl[i]))
+        for i in range(len(score))
+        if keep[i] and score[i] >= 0
+    ]
+    assert kept
+    st, sx, sy, ss, ssc = max(kept, key=lambda c: c[3])
+    top = ref[0]
+    # Tie-breaking across shards may pick a different equally-scoring
+    # template; score/position/scale must agree exactly.
+    assert abs(ss - top.similarity) < 1e-3
+    assert (sx, sy) == (top.x, top.y)
+    assert abs(ssc - top.scale) < 1e-6
+    ref_by_tid = {m.template_id: m for m in ref}
+    assert st in ref_by_tid or abs(ss - top.similarity) < 1e-3
