@@ -310,7 +310,9 @@ def icp_batch(
     return jax.vmap(fn)(model_pts, model_valid, init_T)
 
 
-@functools.partial(jax.jit, static_argnames=("tau_mm", "cell"))
+@functools.partial(
+    jax.jit, static_argnames=("tau_mm", "cell", "color_tau", "color_weight")
+)
 def verify_poses(
     model_pts_mm: jnp.ndarray,   # (N, 3) surface points, model frame, mm
     Rs: jnp.ndarray,             # (K, 3, 3)
@@ -319,8 +321,12 @@ def verify_poses(
     K: jnp.ndarray,              # (3, 3)
     tau_mm: float = 15.0,
     cell: int = 4,
+    model_colors: Optional[jnp.ndarray] = None,  # (N, 3) uint8/float
+    rgb: Optional[jnp.ndarray] = None,           # (H, W, 3) uint8
+    color_tau: float = 0.22,
+    color_weight: float = 0.5,
 ):
-    """Depth-consistency verification of K poses in one dispatch.
+    """Depth(+color)-consistency verification of K poses in one dispatch.
 
     Approximates render-and-compare: project a dense sample of model
     surface points at each pose, resolve self-occlusion with a coarse
@@ -329,11 +335,24 @@ def verify_poses(
     ~100x cheaper than rasterizing the mesh per candidate and jit/vmap
     friendly, so all candidates verify together.
 
+    When ``model_colors`` and ``rgb`` are given, the score is multiplied
+    by (1 - w + w * color_frac) where color_frac is the fraction of
+    depth-agreeing points whose scene chromaticity (lighting-normalized
+    r/g/b shares, L1) matches the model point's within ``color_tau``.
+    Depth alone cannot separate near-symmetric orientation locks (a
+    prism rotated by a facet has an almost identical depth image); the
+    texture does.
+
     Returns (K,) float32 scores in [0, 1].
     """
     h, w = depth_mm.shape
     gh, gw = h // cell, w // cell
     scene = depth_mm.astype(jnp.float32)
+    use_color = model_colors is not None and rgb is not None
+    if use_color:
+        mc = model_colors.astype(jnp.float32)
+        mcn = mc / jnp.maximum(jnp.sum(mc, axis=-1, keepdims=True), 1e-6)
+        rgb_f = rgb.astype(jnp.float32)
 
     def one(R, t):
         p = model_pts_mm @ R.T + t
@@ -349,13 +368,22 @@ def verify_poses(
         zbuf = jnp.full((gh * gw + 1,), jnp.inf, jnp.float32)
         zbuf = zbuf.at[gi].min(jnp.where(inb, z, jnp.inf))
         front = inb & (z <= zbuf[gi] + 2.0 * tau_mm)
-        ds = scene[
-            jnp.clip(v.astype(jnp.int32), 0, h - 1),
-            jnp.clip(u.astype(jnp.int32), 0, w - 1),
-        ]
+        vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+        ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
+        ds = scene[vi, ui]
         agree = front & (ds > 0) & (jnp.abs(ds - z) < tau_mm)
         nfront = jnp.maximum(jnp.sum(front), 1)
-        return jnp.sum(agree) / nfront
+        score = jnp.sum(agree) / nfront
+        if use_color:
+            sc = rgb_f[vi, ui]
+            bright = jnp.sum(sc, axis=-1)
+            scn = sc / jnp.maximum(bright[:, None], 1e-6)
+            cdist = jnp.sum(jnp.abs(scn - mcn), axis=-1)
+            considered = agree & (bright > 40.0)
+            c_ok = considered & (cdist < color_tau)
+            cfrac = jnp.sum(c_ok) / jnp.maximum(jnp.sum(considered), 1)
+            score = score * (1.0 - color_weight + color_weight * cfrac)
+        return score
 
     return jax.vmap(one)(Rs, ts_mm)
 

@@ -55,12 +55,25 @@ def tiled_detect(
     whs: Tuple[jnp.ndarray, ...],
     cfg: DetectorConfig,
     threshold: float,
+    feats: Tuple[jnp.ndarray, ...] = None,
+    valids: Tuple[jnp.ndarray, ...] = None,
 ):
     """Detect one frame with the image row-sharded over mesh axis 'tile'.
 
     Args:
       rgb: (H, W, 3) uint8, H divisible by the tile-axis size.
       depth: (H, W) uint16 or None.
+      feats/valids: optional per-level padded feature lists (replicated —
+        template axis is whole here); enables the feature-sparse
+        scoring/refinement paths.
+
+    Design note — raw pixels vs response maps on the wire: each shard
+    recomputes quantization over its halo (a ~16 px margin) rather than
+    exchanging precomputed response maps.  Response maps are 16 uint8
+    channels/pixel vs 5 bytes/pixel raw (rgb+depth), so pixel exchange
+    moves ~3x less over ICI; the recompute it buys is a sliver of the
+    ~1 ms full-frame pyramid.  Exchange bandwidth is the scarcer
+    resource, so raw-pixel halos are the keeper design.
 
     Returns (tid, x, y, score): (top_k,) merged candidates in GLOBAL
     pixel coordinates (score sorted descending, -1 invalid).
@@ -73,6 +86,7 @@ def tiled_detect(
     hops = -(-halo // slab)  # ring hops needed when halo spans > 1 slab
     top_k = cfg.top_k
     has_depth = depth is not None
+    has_sparse = feats is not None
 
     @functools.partial(
         jax.shard_map,
@@ -83,11 +97,13 @@ def tiled_detect(
             P(),
             P(),
             P(),
+            P() if has_sparse else None,
+            P() if has_sparse else None,
         ),
         out_specs=P(),
         check_vma=False,
     )
-    def step(rgb_s, dep_s, kern, nf, wh):
+    def step(rgb_s, dep_s, kern, nf, wh, feat_r, val_r):
         tidx = jax.lax.axis_index("tile")
 
         def with_halo(x_s):
@@ -114,7 +130,8 @@ def tiled_detect(
         dep_h = with_halo(dep_s) if has_depth else None
 
         tid, x, y, score, _keep = detect_frame_core(
-            rgb_h, dep_h, kern, nf, wh, cfg, threshold, apply_nms=False
+            rgb_h, dep_h, kern, nf, wh, cfg, threshold, apply_nms=False,
+            feats=feat_r, valids=val_r,
         )
         # Convert to global coordinates; own only origins inside the slab.
         y_global = y - halo + tidx * slab
@@ -126,4 +143,8 @@ def tiled_detect(
         top_scores, idx = jax.lax.top_k(gs, top_k)
         return gt[idx], gx[idx], gy[idx], top_scores
 
-    return step(rgb, depth, kernels, nfeats, whs)
+    return step(
+        rgb, depth, kernels, nfeats, whs,
+        feats if has_sparse else None,
+        valids if has_sparse else None,
+    )

@@ -76,6 +76,7 @@ class PoseEstimationService:
         min_fitness: float = 0.5,
         min_verify: float = 0.0,
         verify_tau: float = 15.0,
+        verify_color_weight: float = 0.5,
         rank_key: str = "verify",
     ):
         """Args:
@@ -94,6 +95,7 @@ class PoseEstimationService:
         self.min_fitness = min_fitness
         self.min_verify = min_verify
         self.verify_tau = verify_tau
+        self.verify_color_weight = verify_color_weight
         self.rank_key = rank_key
         self._render_cache: Dict[tuple, np.ndarray] = {}
 
@@ -248,7 +250,7 @@ class PoseEstimationService:
             for i, e in enumerate(out):
                 by_class.setdefault(e.class_id, []).append(i)
             for cid, idxs in by_class.items():
-                pts = self._verify_points(cid)
+                pts, colors = self._verify_points(cid)
                 Rs = jnp.asarray(
                     np.stack([out[i].R for i in idxs]).astype(np.float32)
                 )
@@ -260,6 +262,11 @@ class PoseEstimationService:
                         pts, Rs, tsv, jnp.asarray(depth),
                         jnp.asarray(self.K.astype(np.float32)),
                         tau_mm=self.verify_tau,
+                        model_colors=colors,
+                        rgb=jnp.asarray(rgb) if (
+                            colors is not None and rgb is not None
+                        ) else None,
+                        color_weight=self.verify_color_weight,
                     )
                 )
                 for j, i in enumerate(idxs):
@@ -268,7 +275,8 @@ class PoseEstimationService:
         return nms_norms(out, self.dedupe_radius_mm, key=self.rank_key)
 
     def _verify_points(self, class_id: str):
-        """Dense surface-point sample of a model (cached device array)."""
+        """Dense surface-point sample of a model (+per-point colors when
+        the model has them), cached as device arrays."""
         if not hasattr(self, "_vpts"):
             self._vpts = {}
         if class_id not in self._vpts:
@@ -285,7 +293,18 @@ class PoseEstimationService:
             surf = np.concatenate([pts2, pts2[faces2].mean(1)], 0)
             if len(surf) > 2048:
                 surf = surf[np.linspace(0, len(surf) - 1, 2048).astype(np.int64)]
-            self._vpts[class_id] = jnp.asarray(surf.astype(np.float32))
+            colors = None
+            if model.get("colors") is not None:
+                # Nearest original vertex carries the color (models color
+                # by region; sub-vertex texture detail is out of scope).
+                src = np.asarray(model["colors"], np.float64)
+                d2 = (
+                    np.sum(surf**2, 1)[:, None]
+                    + np.sum(pts**2, 1)[None, :]
+                    - 2.0 * surf @ pts.T
+                )
+                colors = jnp.asarray(src[np.argmin(d2, axis=1)].astype(np.float32))
+            self._vpts[class_id] = (jnp.asarray(surf.astype(np.float32)), colors)
         return self._vpts[class_id]
 
     def run(

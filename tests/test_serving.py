@@ -108,3 +108,47 @@ def test_service_end_to_end():
     # ~72 mm object diameter.
     err = pose_error.adi(best.R, best.t, R_gt, t_gt, model)
     assert err < 12.0, (err, best)
+
+
+def test_verify_poses_color_disambiguates():
+    """Two poses with IDENTICAL depth but different texture alignment:
+    depth-only scores tie, color-aware scoring prefers the right one."""
+    import jax.numpy as jnp
+
+    from sixdpose_tpu.models.refine import verify_poses
+
+    K = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]], np.float32)
+    # Flat square of points facing the camera, left half red, right green.
+    xs, ys = np.meshgrid(np.linspace(-30, 30, 24), np.linspace(-30, 30, 24))
+    pts = np.stack([xs.ravel(), ys.ravel(), np.zeros(xs.size)], 1).astype(np.float32)
+    colors = np.where(
+        (pts[:, 0] < 0)[:, None],
+        np.array([220.0, 30, 30]),
+        np.array([30.0, 220, 30]),
+    ).astype(np.float32)
+    t = np.array([0.0, 0.0, 400.0], np.float32)
+    R_good = np.eye(3, dtype=np.float32)
+    # 180-degree rotation about z: same silhouette+depth, colors swapped.
+    R_bad = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+
+    # Scene rendered from the GOOD pose.
+    depth = np.zeros((120, 160), np.uint16)
+    rgb = np.zeros((120, 160, 3), np.uint8)
+    u = (pts[:, 0] / 400.0 * 200 + 80).astype(int)
+    v = (pts[:, 1] / 400.0 * 200 + 60).astype(int)
+    depth[v, u] = 400
+    rgb[v, u] = colors.astype(np.uint8)
+
+    Rs = jnp.asarray(np.stack([R_good, R_bad]))
+    ts = jnp.asarray(np.stack([t, t]))
+    depth_only = np.asarray(
+        verify_poses(jnp.asarray(pts), Rs, ts, jnp.asarray(depth), jnp.asarray(K))
+    )
+    with_color = np.asarray(
+        verify_poses(
+            jnp.asarray(pts), Rs, ts, jnp.asarray(depth), jnp.asarray(K),
+            model_colors=jnp.asarray(colors), rgb=jnp.asarray(rgb),
+        )
+    )
+    assert abs(depth_only[0] - depth_only[1]) < 0.05      # depth can't tell
+    assert with_color[0] > with_color[1] + 0.2            # color can
