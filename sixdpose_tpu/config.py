@@ -80,6 +80,9 @@ class IcpConfig:
     coarse_gate_mult: float = 3.0    # gate schedule: starts at mult*corr_dist,
     #                                  decays geometrically to corr_dist by the
     #                                  last iteration (coarse->fine re-gating)
+    color_weight: float = 0.1        # colored-ICP term weight (0 disables);
+    #                                  engages when model clouds carry colors
+    chroma_scale: float = 0.05       # meters per unit chroma residual
 
 
 @dataclasses.dataclass(frozen=True)

@@ -106,6 +106,42 @@ def scene_normals(points: jnp.ndarray, edge_thresh: float = 0.02) -> jnp.ndarray
     return jnp.where(valid, n, 0.0)
 
 
+def scene_chroma(rgb: jnp.ndarray, blur: int = 2):
+    """(H, W, 3) uint8 -> lighting-normalized chroma (H, W, 2) float32
+    (r and g shares) plus its pixel-space central-difference gradients
+    (each (H, W, 2)).  Used by the colored-ICP term.
+
+    The chroma is box-blurred (+-``blur`` px) before differentiation:
+    raw +-1 px gradients have no basin when the initial pose projects a
+    few pixels off, and the color term then acts as noise on the solve.
+    """
+    f = rgb.astype(jnp.float32)
+    bright = jnp.sum(f, axis=-1, keepdims=True)
+    valid = (bright > 40.0).astype(jnp.float32)
+    c = f[..., :2] / jnp.maximum(bright, 1e-6)
+    if blur > 0:
+        # Validity-masked blur: dark pixels (background, shadow) carry no
+        # chroma and must not bleed (0, 0) into object borders.
+        num = jnp.zeros_like(c)
+        den = jnp.zeros_like(valid)
+        for dy in range(-blur, blur + 1):
+            for dx in range(-blur, blur + 1):
+                num = num + jnp.roll(c * valid, (dy, dx), axis=(0, 1))
+                den = den + jnp.roll(valid, (dy, dx), axis=(0, 1))
+        c = num / jnp.maximum(den, 1.0)
+    c = jnp.where(valid > 0, c, 0.0)
+    du = (jnp.roll(c, -1, axis=1) - jnp.roll(c, 1, axis=1)) * 0.5
+    dv = (jnp.roll(c, -1, axis=0) - jnp.roll(c, 1, axis=0)) * 0.5
+    # Zero gradients where any sample in the stencil was invalid: a
+    # difference against a hole is not a real chroma gradient.
+    ok = (
+        valid
+        * jnp.roll(valid, 1, axis=1) * jnp.roll(valid, -1, axis=1)
+        * jnp.roll(valid, 1, axis=0) * jnp.roll(valid, -1, axis=0)
+    )
+    return c, du * ok, dv * ok
+
+
 def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: (3,) axis-angle -> (3, 3) rotation."""
     theta = jnp.linalg.norm(w) + 1e-12
@@ -121,17 +157,23 @@ def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_model_points(
-    model_depth_mm: np.ndarray, model_K: np.ndarray, num_points: int
-) -> Tuple[np.ndarray, np.ndarray]:
+    model_depth_mm: np.ndarray,
+    model_K: np.ndarray,
+    num_points: int,
+    return_pixels: bool = False,
+):
     """Host-side fixed-size sample of the rendered model cloud (meters).
 
     Returns (num_points, 3) points and (num_points,) validity mask (padded
     slots invalid).  Deterministic stride sampling over valid pixels.
+    With ``return_pixels`` also returns the (ys, xs) pixel coordinates of
+    the valid samples (e.g. to pick up their rendered colors).
     """
     ys, xs = np.nonzero(model_depth_mm > 0)
     n = len(ys)
     if n == 0:
-        return np.zeros((num_points, 3), np.float32), np.zeros(num_points, bool)
+        empty = (np.zeros((num_points, 3), np.float32), np.zeros(num_points, bool))
+        return empty + ((ys, xs),) if return_pixels else empty
     if n > num_points:
         sel = np.linspace(0, n - 1, num_points).astype(np.int64)
         ys, xs = ys[sel], xs[sel]
@@ -144,6 +186,8 @@ def sample_model_points(
         pad = num_points - len(pts)
         pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
         valid = np.concatenate([valid, np.zeros(pad, bool)])
+    if return_pixels:
+        return pts, valid, (ys, xs)
     return pts, valid
 
 
@@ -158,6 +202,10 @@ def icp_point_to_plane(
     corr_dist: float = 0.01,
     max_iters: int = 20,
     coarse_gate_mult: float = 3.0,
+    model_chroma: Optional[jnp.ndarray] = None,   # (N, 2)
+    chroma_maps: Optional[tuple] = None,          # (c, du, dv) from scene_chroma
+    color_weight: float = 0.3,
+    chroma_scale: float = 0.05,
 ):
     """Projective point-to-plane ICP for one candidate.
 
@@ -176,11 +224,21 @@ def icp_point_to_plane(
         a coarse->fine re-gating schedule (wide basin early, tight
         association late; the reference's fixed 0.01 m gate relies on
         Open3D's NN search having a wide basin already).
+      model_chroma / chroma_maps: enable the COLORED-ICP term (Park-style):
+        residual = chroma_scale * (scene chroma at the projection − model
+        point chroma), with the Jacobian through the projection's pixel
+        gradients.  Geometry-only ICP has a rotational null space on
+        near-symmetric shapes (a prism sliding between facet alignments);
+        the texture term pins it.  The reference's Open3D point-to-plane
+        has no color.
 
     Returns (T, fitness, inlier_rmse).
     """
     h, w = scene_pts.shape[:2]
     valid_w = (scene_pts[..., 2] > 0).astype(jnp.float32)
+    use_color = model_chroma is not None and chroma_maps is not None
+    if use_color:
+        chr_c, chr_du, chr_dv = chroma_maps
 
     def lookup(p):
         """Project points; validity-weighted bilinear scene point/normal.
@@ -263,6 +321,46 @@ def icp_point_to_plane(
         Jpt = jnp.concatenate([-px_, jnp.broadcast_to(jnp.eye(3), px_.shape)], axis=2)
         H = H + w_pt * jnp.einsum("nij,nik,n->jk", Jpt, Jpt, wgt)
         g = g + w_pt * jnp.einsum("nij,ni,n->j", Jpt, -d, wgt)
+        if use_color:
+            # Colored-ICP term: chroma residual at the projection, chained
+            # through the pinhole Jacobian.  All quantities scaled by
+            # chroma_scale so the term competes with meter-scale geometry.
+            # Annealed robustness (deterministic-annealing style): the
+            # Geman-McClure sigma starts wide (large mismatches may be the
+            # signal, e.g. a facet-misaligned start) and tightens to the
+            # polish regime by the last iteration, mirroring the geometric
+            # gate schedule.
+            w_col = color_weight * frac  # geometry owns the early phase
+            sigma = 0.5 * (0.2 ** frac)  # 0.5 -> 0.1 chroma units
+            u = p[:, 0] / jnp.maximum(p[:, 2], 1e-6) * scene_K[0, 0] + scene_K[0, 2]
+            v = p[:, 1] / jnp.maximum(p[:, 2], 1e-6) * scene_K[1, 1] + scene_K[1, 2]
+            ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
+            vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
+            rc = (chr_c[vi, ui] - model_chroma) * chroma_scale      # (N, 2)
+            gu = chr_du[vi, ui] * chroma_scale                      # (N, 2)
+            gv = chr_dv[vi, ui] * chroma_scale
+            pz = jnp.maximum(p[:, 2], 1e-6)
+            dudp = jnp.stack(
+                [scene_K[0, 0] / pz, jnp.zeros_like(pz),
+                 -scene_K[0, 0] * p[:, 0] / (pz * pz)], axis=1)     # (N, 3)
+            dvdp = jnp.stack(
+                [jnp.zeros_like(pz), scene_K[1, 1] / pz,
+                 -scene_K[1, 1] * p[:, 1] / (pz * pz)], axis=1)
+            # dC/dp (N, 2, 3), then through dp/dxi = Jpt (N, 3, 6).
+            dcdp = gu[:, :, None] * dudp[:, None, :] + gv[:, :, None] * dvdp[:, None, :]
+            Jc = jnp.einsum("ncp,npj->ncj", dcdp, Jpt)              # (N, 2, 6)
+            # Only points with a valid, bright association contribute
+            # (zero-chroma pixels are background/shadow holes), with a
+            # Geman-McClure robust weight on the chroma mismatch: a large
+            # residual usually means the association landed on a different
+            # face/object, and its linearized pull degrades converged
+            # fitness (measured 0.78 -> 0.53 unweighted); the smooth
+            # falloff keeps the useful pull of the blur-band gradients.
+            cbright = jnp.sum(chr_c[vi, ui], axis=-1) > 1e-6
+            rmag = jnp.sum(jnp.abs(rc), axis=-1) / (sigma * chroma_scale)
+            cw = wgt * cbright.astype(jnp.float32) / (1.0 + rmag * rmag)
+            H = H + w_col * jnp.einsum("ncj,nck,n->jk", Jc, Jc, cw)
+            g = g + w_col * jnp.einsum("ncj,nc,n->j", Jc, -rc, cw)
         # Levenberg-Marquardt damping keeps steps bounded along any
         # remaining symmetry null space (e.g. a sphere's rotations).
         H = H + 1e-3 * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
@@ -300,14 +398,26 @@ def icp_batch(
     corr_dist: float = 0.01,
     max_iters: int = 20,
     coarse_gate_mult: float = 3.0,
+    model_chroma=None,           # (K, N, 2) optional
+    chroma_maps=None,            # shared scene (c, du, dv)
+    color_weight: float = 0.3,
+    chroma_scale: float = 0.05,
 ):
     """All K candidates refined in parallel (reference refines top-K matches
     serially, linemod_and_levelup_test.py:354-376)."""
-    fn = lambda mp, mv, t0: icp_point_to_plane(
+    if model_chroma is None:
+        fn = lambda mp, mv, t0: icp_point_to_plane(
+            mp, mv, scene_pts, scene_nrm, scene_K, t0, corr_dist, max_iters,
+            coarse_gate_mult,
+        )
+        return jax.vmap(fn)(model_pts, model_valid, init_T)
+    fn = lambda mp, mv, t0, mc: icp_point_to_plane(
         mp, mv, scene_pts, scene_nrm, scene_K, t0, corr_dist, max_iters,
-        coarse_gate_mult,
+        coarse_gate_mult, mc, chroma_maps, color_weight, chroma_scale,
     )
-    return jax.vmap(fn)(model_pts, model_valid, init_T)
+    return jax.vmap(fn, in_axes=(0, 0, 0, 0))(
+        model_pts, model_valid, init_T, model_chroma
+    )
 
 
 @functools.partial(

@@ -184,9 +184,11 @@ def render_train_templates(
                     # to re-render templates (serving.py).
                     from sixdpose_tpu.models.refine import sample_model_points
 
-                    icp_pts, icp_valid = sample_model_points(
-                        depth_mm.astype(np.uint16), np.asarray(K), 512
+                    icp_pts, icp_valid, (pys, pxs) = sample_model_points(
+                        depth_mm.astype(np.uint16), np.asarray(K), 512,
+                        return_pixels=True,
                     )
+                    icp_colors = rgb_np[j][pys, pxs].astype(np.uint8)
                     ys_r, xs_r = np.nonzero(depth_mm > 0)
                     info = {
                         "cam_K": np.asarray(K, np.float64),
@@ -195,6 +197,7 @@ def render_train_templates(
                         "radius": float(radius),
                         "view_id": vi,
                         "icp_points": icp_pts[icp_valid].astype(np.float32),
+                        "icp_colors": icp_colors,
                         "render_bbox": np.array(
                             [xs_r.min(), ys_r.min(), xs_r.max(), ys_r.max()]
                         ),

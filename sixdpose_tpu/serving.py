@@ -116,24 +116,46 @@ class PoseEstimationService:
             self._render_cache[key] = np.asarray(d)
         return self._render_cache[key]
 
+    def enable_multiscale(self, train_depth: float, num_scales: int = 5,
+                          **kwargs) -> None:
+        """Switch detection to the depth-histogram multi-scale matcher
+        (models/multiscale.py) over the same bank: templates trained at
+        ``train_depth`` mm match at histogram-proposed scene depths.  The
+        per-match ``scale`` rescales the ICP seed bbox."""
+        from sixdpose_tpu.models.multiscale import MultiScaleDetector
+
+        self._multiscale = MultiScaleDetector(
+            self.det, train_depth, num_scales=num_scales, **kwargs
+        )
+
     def process_frame(self, rgb: np.ndarray, depth: np.ndarray) -> List[PoseEstimate]:
         """Detect -> batched refine -> dedupe for one frame."""
         h, w = depth.shape
-        matches = self.det.match(rgb, depth, self.threshold)
+        ms = getattr(self, "_multiscale", None)
+        if ms is not None:
+            matches = []
+            for cid in self.det.class_ids():
+                matches.extend(ms.match(rgb, depth, self.threshold, cid))
+            matches.sort(key=lambda m: -m.similarity)
+        else:
+            matches = self.det.match(rgb, depth, self.threshold)
         matches = matches[: self.max_refine]
         if not matches:
             return []
 
-        clouds, valids, init_Ts, meta = [], [], [], []
+        clouds, valids, init_Ts, meta, colors = [], [], [], [], []
         npts = self.icp.num_model_points
         for m in matches:
             if m.class_id not in self.models:
                 continue
             info = self.det.bank.infos[m.class_id][m.template_id]
 
+            col_m = None
             if "icp_points" in info:
                 # Train-time cloud + bbox (no serve-time render).
                 pts_m = np.asarray(info["icp_points"], np.float32)
+                if "icp_colors" in info:
+                    col_m = np.asarray(info["icp_colors"], np.float32)
                 bx0, by0, bx1, by1 = np.asarray(info["render_bbox"])
                 z_anchor = float(info["anchor_depth"]) / 1000.0
                 cx_r = pts_m[:, 0].mean()
@@ -155,6 +177,13 @@ class PoseEstimationService:
                 z_anchor = float(np.median(dimg[dimg > 0])) / 1000.0
                 bx0, by0 = xs.min(), ys.min()
                 bw, bh = int(xs.max() - xs.min()), int(ys.max() - ys.min())
+
+            # Multi-scale matches carry the applied template scale: the
+            # scene-space bbox of the object is the render bbox rescaled.
+            scl = float(getattr(m, "scale", 1.0) or 1.0)
+            if scl != 1.0:
+                bw = int(round(bw * scl))
+                bh = int(round(bh * scl))
 
             # Seed translation: move the template cloud to the detected
             # position (centroid shift, same idea as poseRefine's init
@@ -184,14 +213,21 @@ class PoseEstimationService:
                 valid = np.concatenate(
                     [np.ones(len(pts_m), bool), np.zeros(pad, bool)]
                 )
+                if col_m is not None:
+                    col_m = np.concatenate(
+                        [col_m, np.zeros((pad, 3), np.float32)]
+                    )
             else:
                 sel = np.linspace(0, len(pts_m) - 1, npts).astype(np.int64)
                 cloud = pts_m[sel]
                 valid = np.ones(npts, bool)
+                if col_m is not None:
+                    col_m = col_m[sel]
             clouds.append(cloud)
             valids.append(valid)
             init_Ts.append(T0)
             meta.append(m)
+            colors.append(col_m)
 
         if not clouds:
             return []
@@ -199,10 +235,31 @@ class PoseEstimationService:
         import jax
         import jax.numpy as jnp
 
-        from sixdpose_tpu.models.refine import backproject, icp_batch, scene_normals
+        from sixdpose_tpu.models.refine import (
+            backproject,
+            icp_batch,
+            scene_chroma,
+            scene_normals,
+        )
 
         sp = backproject(jnp.asarray(depth), jnp.asarray(self.K.astype(np.float32)))
         sn = scene_normals(sp)
+        # Colored ICP when every candidate cloud carries colors.
+        use_color = (
+            self.icp.color_weight > 0.0
+            and rgb is not None
+            and all(c is not None for c in colors)
+        )
+        if use_color:
+            col = np.stack(colors).astype(np.float32)
+            chroma = col[..., :2] / np.maximum(
+                col.sum(-1, keepdims=True), 1e-6
+            )
+            chroma_k = jnp.asarray(chroma)
+            chroma_maps = scene_chroma(jnp.asarray(rgb))
+        else:
+            chroma_k = None
+            chroma_maps = None
         Ts, fits, _rmse = icp_batch(
             jnp.asarray(np.stack(clouds)),
             jnp.asarray(np.stack(valids)),
@@ -212,6 +269,11 @@ class PoseEstimationService:
             jnp.asarray(np.stack(init_Ts)),
             self.icp.corr_dist,
             self.icp.max_iters,
+            self.icp.coarse_gate_mult,
+            model_chroma=chroma_k,
+            chroma_maps=chroma_maps,
+            color_weight=self.icp.color_weight,
+            chroma_scale=self.icp.chroma_scale,
         )
         Ts = np.asarray(Ts, np.float64)
         fits = np.asarray(fits)

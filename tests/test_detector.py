@@ -170,3 +170,61 @@ def test_match_batch(small_cfg):
         assert score[i, 0] >= 0
         assert (int(x[i, 0]), int(y[i, 0])) == (single[0].x, single[0].y)
         assert abs(float(score[i, 0]) - single[0].similarity) < 1e-3
+
+
+def test_colored_icp_recovers_inplane_rotation():
+    """On a flat textured square, depth carries no signal about rotation
+    around the plane normal; the colored-ICP term recovers it."""
+    import jax.numpy as jnp
+
+    from sixdpose_tpu.models.refine import (
+        backproject, icp_point_to_plane, scene_chroma, scene_normals,
+    )
+
+    K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], np.float32)
+    h, w = 120, 160
+    # Scene: flat plane at z=400mm with a red/green split along x=0.
+    depth = np.full((h, w), 400, np.uint16)
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[:, : w // 2] = (210, 40, 40)
+    rgb[:, w // 2 :] = (40, 210, 40)
+
+    # Model: grid of points on that plane (meters), colored consistently.
+    xs, ys = np.meshgrid(np.linspace(-0.06, 0.06, 20), np.linspace(-0.05, 0.05, 16))
+    pts = np.stack([xs.ravel(), ys.ravel(), np.full(xs.size, 0.4)], 1).astype(np.float32)
+    chroma = np.where(
+        (pts[:, 0] < 0)[:, None],
+        np.array([210, 40], np.float32) / 290.0,
+        np.array([40, 210], np.float32) / 290.0,
+    )
+    valid = np.ones(len(pts), bool)
+
+    # Init: rotated 8 degrees about the view axis through the plane center
+    # (the colored term is annealed toward an endgame polish; very large
+    # color-only errors are the verify stage's job, not ICP's).
+    th = np.radians(8.0)
+    Rz = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    c = np.array([0, 0, 0.4], np.float32)
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = Rz
+    T0[:3, 3] = c - Rz @ c
+
+    sp = backproject(jnp.asarray(depth), jnp.asarray(K))
+    sn = scene_normals(sp)
+
+    def ang_err(T):
+        R = np.asarray(T)[:3, :3]
+        return np.degrees(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)))
+
+    T_geo, fit_g, _ = icp_point_to_plane(
+        jnp.asarray(pts), jnp.asarray(valid), sp, sn, jnp.asarray(K),
+        jnp.asarray(T0), 0.02, 20)
+    T_col, fit_c, _ = icp_point_to_plane(
+        jnp.asarray(pts), jnp.asarray(valid), sp, sn, jnp.asarray(K),
+        jnp.asarray(T0), 0.02, 20,
+        model_chroma=jnp.asarray(chroma),
+        chroma_maps=scene_chroma(jnp.asarray(rgb)),
+        color_weight=0.3, chroma_scale=0.05)
+    e_geo, e_col = ang_err(T_geo), ang_err(T_col)
+    assert e_col < 5.0, (e_geo, e_col)
+    assert e_col < e_geo - 2.0, (e_geo, e_col)

@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""LCHF end-to-end pipeline driver (reference LCHF_test.py analog).
+
+Modes mirror the reference driver (LCHF_test.py:122-425):
+  render_train : render views of a mesh, crop patches, build features,
+                 train the forest, save (npz).
+  test         : dense scene ROIs -> whole-scene response crops ->
+                 forest prediction (one jit dispatch per tree) -> hough
+                 voting -> top-K pose-bin hypotheses.
+  demo         : both, on a synthetic scene (no dataset needed).
+
+Example:
+  python tools/lchf_pipeline.py demo --views 20 --out /tmp/lchf_model
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_demo_assets(views: int, seed: int = 0):
+    from sixdpose_tpu.benchmark import make_models
+    from sixdpose_tpu.geometry.render import render
+    from sixdpose_tpu.geometry.view_sampler import sample_views
+
+    K = np.array([[280.0, 0, 160.0], [0, 280.0, 120.0], [0, 0, 1]])
+    model = make_models()["box"]
+    vs, _ = sample_views(views, radius=500.0)
+    return K, model, vs
+
+
+def render_train(args) -> int:
+    from sixdpose_tpu.geometry.render import render
+    from sixdpose_tpu.lchf.feature import LchfConfig
+    from sixdpose_tpu.lchf.model import LchfModel, make_training_patches, train_forest
+
+    K, model, views = build_demo_assets(args.views, args.seed)
+    cfg = LchfConfig()
+    patches, rpys, ts = [], [], []
+    t0 = time.time()
+    for view in views:
+        rgb, depth = render(
+            model, (320, 240), K, view["R"], view["t"], mode="rgb+depth"
+        )
+        rgb = np.asarray(rgb)
+        depth = np.asarray(depth).astype(np.uint16)
+        mask = (depth > 0).astype(np.uint8) * 255
+        p, r, t = make_training_patches(rgb, depth, mask, view["R"], cfg)
+        patches.extend(p)
+        rpys.extend(r)
+        ts.extend(t)
+    print(f"{len(patches)} training patches from {len(views)} views "
+          f"({time.time()-t0:.1f}s)")
+    model_l = train_forest(
+        patches, np.asarray(rpys, np.float32), np.asarray(ts, np.float32), cfg
+    )
+    model_l.save(args.out)
+    print(f"forest saved to {args.out}*")
+    return 0
+
+
+def test(args) -> int:
+    from sixdpose_tpu.geometry.render import render
+    from sixdpose_tpu.lchf.feature import LchfConfig
+    from sixdpose_tpu.lchf.model import LchfModel, predict_scene, scene_roi_set
+    from sixdpose_tpu.lchf.voting import dense_rois, hough_vote
+
+    cfg = LchfConfig()
+    model_l = LchfModel.load(args.out)
+    K, model, views = build_demo_assets(2, args.seed + 1)
+    view = views[0]
+    rgb, depth = render(model, (320, 240), K, view["R"], view["t"], mode="rgb+depth")
+    rgb = np.asarray(rgb)
+    depth = np.asarray(depth).astype(np.uint16)
+
+    t0 = time.time()
+    rois = dense_rois(depth, stride=args.stride)
+    roi_set = scene_roi_set(rgb, depth, rois, cfg)
+    leaves = predict_scene(model_l, roi_set, cfg, device=True)
+    bins, scores, _votes = hough_vote(
+        leaves,
+        model_l.leaf_feats_map(),
+        rois,
+        model_l.rpy,
+        model_l.t,
+        (320, 240),
+        train_radius=500.0,
+        top_k=args.top_k,
+    )
+    print(f"{len(rois)} rois -> top-{args.top_k} vote bins "
+          f"({time.time()-t0:.1f}s):")
+    for b, s in zip(np.asarray(bins), np.asarray(scores)):
+        print(json.dumps({"bin": b.tolist(), "score": round(float(s), 3)}))
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=["render_train", "test", "demo"])
+    ap.add_argument("--out", default="/tmp/lchf_model")
+    ap.add_argument("--views", type=int, default=20)
+    ap.add_argument("--stride", type=int, default=10)
+    ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    if args.mode in ("render_train", "demo"):
+        rc = render_train(args)
+        if rc:
+            return rc
+    if args.mode in ("test", "demo"):
+        return test(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
