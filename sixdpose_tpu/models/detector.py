@@ -88,11 +88,17 @@ def _match_class(
     t_c = t_at_level[coarse]
 
     # --- dense scoring at the coarsest level (cpp:1820-1852) ---
-    # Feature-sparse row-gather scorer when the feature lists are
-    # available (work scales with feature count; the one-hot conv wastes
-    # >99.9% of its MACs), dense conv otherwise.
-    if feats is not None:
-        kh_c, kw_c = kernels[coarse].shape[2:]
+    # Bank-size-adaptive scorer.  The one-hot conv wastes >99.9% of its
+    # MACs (~0.04% kernel density), but below ~2e10 MACs the MXU eats the
+    # waste for free while the sparse path pays a fixed im2col
+    # (~2 ms at VGA): measured 1.7 ms conv vs 4.2 ms sparse for the case1
+    # 89-template bank, and ~8.5 ms conv vs ~4 ms sparse for the 1685
+    # kernels of the multiscale sweep.  Cross over on the MAC estimate.
+    n_k, c_k, kh_c, kw_c = kernels[coarse].shape
+    hb = -(-response_pyramid[coarse].shape[1] // t_c)
+    wb = -(-response_pyramid[coarse].shape[2] // t_c)
+    conv_macs = n_k * hb * wb * c_k * kh_c * kw_c
+    if feats is not None and conv_macs > 2e10:
         raw, nf_c = similarity_multiscale_sparse(
             response_pyramid[coarse],
             feats[coarse],

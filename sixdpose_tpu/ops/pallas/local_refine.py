@@ -83,13 +83,17 @@ def _refine_kernel(
                 get_dma((f + _NBUF - 1) % _NBUF, f + _NBUF - 1).start()
 
             get_dma(slot, f).wait()
-            vals = scratch[slot].astype(jnp.int32)
             bx = bx_ref[k, f]
-            # roll with positive shifts only (left-shift by s == roll by n-s)
+            # Row selection must be a roll: Mosaic only allows 8-aligned
+            # dynamic sublane slice offsets, and the window offset within
+            # the fetch is arbitrary in [0, 16).  The roll runs in int32
+            # (int16 would pack 2x per vreg but Mosaic's rotate only
+            # supports 32-bit lanes).
+            vals = scratch[slot].astype(jnp.int32)
             shifted = pltpu.roll(
                 pltpu.roll(vals, wbp - bx, 1), rr_ref[k, f], 0
             )[:window, :]
-            # Zero columns that wrapped around the 128-lane tile (exact
+            # Zero columns past the data or wrapped around the tile (exact
             # zero-pad semantics without padding the lane dim).
             shifted = jnp.where(lane < wb - bx, shifted, 0)
             acc[:] = acc[:] + shifted
