@@ -37,7 +37,7 @@ from sixdpose_tpu.ops.similarity import (
     similarity_dense,
     similarity_local,
     similarity_local_sparse_auto,
-    similarity_multiscale_sparse,
+    similarity_multiscale_matmul,
 )
 from sixdpose_tpu.ops.topk_nms import topk_candidates, nms_boxes
 
@@ -99,7 +99,7 @@ def _match_class(
     wb = -(-response_pyramid[coarse].shape[2] // t_c)
     conv_macs = n_k * hb * wb * c_k * kh_c * kw_c
     if feats is not None and conv_macs > 2e10:
-        raw, nf_c = similarity_multiscale_sparse(
+        raw, nf_c = similarity_multiscale_matmul(
             response_pyramid[coarse],
             feats[coarse],
             valids[coarse],

@@ -8,14 +8,15 @@ this by loading separate per-radius template files (test.cpp:116, 178).
 TPU-first realization, fully fused in one jit program:
 
   scale proposal (ops/scale_proposal.py)
-    -> feature-sparse row-gather scoring of ALL (scale, template) pairs
-       at the coarse level (ops/similarity.py similarity_multiscale_sparse;
-       scaling is index arithmetic, so no kernel tables exist at all)
+    -> shift-bucketed int8 matmul scoring of ALL (scale, template) pairs
+       at the coarse level (ops/similarity.py
+       similarity_multiscale_matmul; per-frame scatter-built weights, no
+       prebuilt kernel banks)
     -> top-K over (scale, template, y, x)
     -> per-candidate feature-sparse local refinement (Pallas on TPU)
     -> NMS
 
-so the scale sweep costs one im2col + one gather instead of S separate
+so the scale sweep costs khb*kwb MXU matmuls instead of S separate
 matches.
 """
 
@@ -38,9 +39,11 @@ from sixdpose_tpu.models.detector import (
 )
 from sixdpose_tpu.ops.scale_proposal import bin_centers, propose_depth_bins, propose_depths
 from sixdpose_tpu.ops.similarity import (
+    matmul_shift_sum,
+    multiscale_weights_host,
     score_normalize,
     similarity_local_sparse_auto,
-    similarity_multiscale_sparse,
+    similarity_multiscale_matmul,
 )
 from sixdpose_tpu.ops.topk_nms import nms_boxes, topk_candidates
 
@@ -65,6 +68,8 @@ def multiscale_detect_core(
     num_scales: int,
     kdims: Tuple[Tuple[int, int], ...],
     apply_nms: bool = True,
+    w_bins: Optional[jnp.ndarray] = None,
+    nf_bins: Optional[jnp.ndarray] = None,
 ):
     """Traceable multi-scale detection (no jit wrapper — compose under
     shard_map / vmap; use ``_multiscale_detect`` standalone).
@@ -76,6 +81,11 @@ def multiscale_detect_core(
       kdims: per-level static (kh, kw) covering the largest allowed scale
         (bounds for the scaled-feature clip; also used for the
         per-candidate refinement builds).
+      w_bins/nf_bins: optional prebuilt per-depth-bin weight tables
+        ((NB, khb*kwb, N, C*t*t) int8 / (NB, N) int32,
+        ops/similarity.py multiscale_weights_host) — runtime selection
+        is a contiguous slice per proposal instead of the ~10 ms
+        on-device scatter build.
 
     Returns (tid, x, y, score, keep, depths, scales).
     """
@@ -90,15 +100,33 @@ def multiscale_detect_core(
     valid_scale = counts > 0
     scales = jnp.where(valid_scale, bin_scales[bin_idx], 0.0)
 
-    # --- coarse level: feature-sparse row-gather scoring of all
-    # (scale, template) pairs (ops/similarity.py); scaling is pure index
-    # arithmetic, so there is no per-bin kernel table and no scatter
-    # build — the reference's "different scales as different objects"
-    # design (notes.md:58-63) costs one im2col + one gather here.
+    # --- coarse level: shift-bucketed int8 matmuls over all
+    # (scale, template) pairs — the reference's "different scales as
+    # different objects" design (notes.md:58-63) costs khb*kwb MXU
+    # matmuls.  With prebuilt per-bin weight tables selection is a
+    # contiguous slice per proposal; without them the weights scatter-
+    # build on device (memory-lean but ~10 ms for a 5x337 sweep).
     kh_c, kw_c = kdims[coarse]
-    raw, nfeat_c = similarity_multiscale_sparse(
-        pyramid[coarse], feats[coarse], valids[coarse], scales, t_c, kh_c, kw_c
-    )
+    if w_bins is not None:
+        khb, kwb = -(-kh_c // t_c), -(-kw_c // t_c)
+        w_sel = jnp.concatenate(
+            [
+                jax.lax.dynamic_index_in_dim(w_bins, bin_idx[i], 0, keepdims=False)
+                for i in range(s)
+            ],
+            axis=1,
+        )  # (khb*kwb, S*N, C*t*t)
+        nfeat_c = jnp.where(
+            jnp.repeat(valid_scale, n),
+            nf_bins[bin_idx].reshape(s * n),
+            0,
+        ).astype(jnp.int32)
+        raw = matmul_shift_sum(pyramid[coarse], w_sel, t_c, khb, kwb)
+    else:
+        raw, nfeat_c = similarity_multiscale_matmul(
+            pyramid[coarse], feats[coarse], valids[coarse], scales, t_c,
+            kh_c, kw_c,
+        )
     scores = score_normalize(raw, jnp.maximum(nfeat_c, 1))
     # Mask empty kernels and invalid scale proposals.
     ok = (nfeat_c > 0) & jnp.repeat(valid_scale, n)
@@ -187,11 +215,13 @@ def _multiscale_detect(
     threshold: float,
     num_scales: int,
     kdims: Tuple[Tuple[int, int], ...],
+    w_bins=None,
+    nf_bins=None,
 ):
     """Fused multi-scale detection (jit wrapper of the core)."""
     return multiscale_detect_core(
         rgb, depth, feats, valids, whs, bin_scales, cfg, threshold,
-        num_scales, kdims,
+        num_scales, kdims, w_bins=w_bins, nf_bins=nf_bins,
     )
 
 
@@ -242,6 +272,17 @@ class MultiScaleDetector:
                 kh = int(np.ceil((wh[:, 1].max() + 1) * self.max_scale))
                 kw = int(np.ceil((wh[:, 0].max() + 1) * self.max_scale))
                 kdims.append((kh, kw))
+            # Prebuild per-depth-bin matmul weights on the host (the
+            # on-device scatter costs ~10 ms/frame; bins are discrete so
+            # the tables build once — NB * khb*kwb * N * C*t*t int8,
+            # ~0.8 GB for a 337-template VGA bank).
+            coarse = levels - 1
+            t_c = self.cfg.t_at_level[coarse]
+            kh_c, kw_c = kdims[coarse]
+            w_np, nf_np = multiscale_weights_host(
+                feats_np[coarse], valids_np[coarse], self.bin_scales,
+                t_c, kh_c, kw_c, 8 * self.cfg.num_modalities,
+            )
             # Upload once; never read device arrays back (a D2H round trip
             # permanently drops tunneled devices from async to synchronous
             # dispatch, ~22 ms/call).
@@ -254,6 +295,8 @@ class MultiScaleDetector:
                 tuple(whs),
                 jnp.asarray(self.bin_scales),
                 tuple(kdims),
+                jnp.asarray(w_np),
+                jnp.asarray(nf_np),
             )
         return self._arrays[class_id]
 
@@ -264,7 +307,9 @@ class MultiScaleDetector:
         threshold: float,
         class_id: str,
     ) -> List[ScaleMatch]:
-        feats, valids, whs, bs, kdims = self._feature_arrays(class_id)
+        feats, valids, whs, bs, kdims, w_bins, nf_bins = self._feature_arrays(
+            class_id
+        )
         tid, x, y, score, keep, depths, scales = _multiscale_detect(
             jnp.asarray(rgb) if rgb is not None else None,
             jnp.asarray(depth),
@@ -276,6 +321,8 @@ class MultiScaleDetector:
             float(threshold),
             self.num_scales,
             kdims,
+            w_bins=w_bins,
+            nf_bins=nf_bins,
         )
         tid, x, y, score, keep, depths, scales = jax.device_get(
             (tid, x, y, score, keep, depths, scales)

@@ -245,7 +245,7 @@ def test_sharded_multiscale_matches_single_device():
     depth = np.full((96, 128), 1000, np.uint16)
 
     ms = MultiScaleDetector(det, train_depth=600.0, num_scales=3)
-    feats, valids, whs, bs, kdims = ms._feature_arrays("objs")
+    feats, valids, whs, bs, kdims, _w, _nf = ms._feature_arrays("objs")
     ref = ms.match(scene, depth, 55.0, "objs")
     assert ref
 

@@ -234,3 +234,31 @@ def test_similarity_multiscale_sparse_matches_scaled_conv(rng):
         dense = np.asarray(similarity_dense(jnp.asarray(rm), jnp.asarray(kern), t))
         assert np.allclose(raw[si * n : (si + 1) * n], dense), f"scale {sc}"
         assert (nfeat[si * n : (si + 1) * n] == ok.sum(1)).all()
+
+
+def test_similarity_multiscale_matmul_matches_sparse(rng):
+    """The shift-bucketed matmul scorer must equal the row-gather one."""
+    from sixdpose_tpu.ops.similarity import (
+        similarity_multiscale_matmul,
+        similarity_multiscale_sparse,
+    )
+
+    h, w, t = 48, 64, 4
+    c = 8
+    kh, kw = 14, 11
+    rm = rng.integers(0, 5, (c, h, w)).astype(np.uint8)
+    n, f = 4, 9
+    feats = np.stack(
+        [rng.integers(0, 16, (n, f)), rng.integers(0, 16, (n, f)),
+         rng.integers(0, c, (n, f))], axis=-1).astype(np.int32)
+    valid = rng.random((n, f)) > 0.2
+    scales = np.array([1.0, 0.6, 1.4, 0.0], np.float32)
+
+    a_raw, a_nf = similarity_multiscale_sparse(
+        jnp.asarray(rm), jnp.asarray(feats), jnp.asarray(valid),
+        jnp.asarray(scales), t, kh, kw)
+    b_raw, b_nf = similarity_multiscale_matmul(
+        jnp.asarray(rm), jnp.asarray(feats), jnp.asarray(valid),
+        jnp.asarray(scales), t, kh, kw)
+    assert (np.asarray(a_nf) == np.asarray(b_nf)).all()
+    assert np.allclose(np.asarray(a_raw), np.asarray(b_raw))
