@@ -228,3 +228,64 @@ def _sim_rows_jit(
     count = jnp.sum(inb, axis=1)
     sim = jnp.where(count > 0, score / jnp.maximum(count, 1) / 4.0 * 100.0, 0.0)
     return jnp.where(ok_j, sim, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("z_check",))
+def _sim_matrix_jit(
+    p_feats, p_valid, p_zrel, p_center, p_shape,
+    responses, z_avg, centers, z_check: float,
+):
+    """(N_pivots, M_targets) similarity matrix in one dispatch.
+
+    SURVEY.md §7: forest training's hot loop is similarity(pivot ->
+    cohort) per split attempt (O(trees * nodes * samples * nfeat),
+    forest.h:303-416); computing the full matrix once turns every split
+    into an array lookup.  Rows evaluate sequentially under lax.map
+    (each row is an (M, F) vectorized gather), so peak memory stays
+    O(M * F) instead of O(N * M * F).
+    """
+    m = responses.shape[0]
+    jh, jw = z_avg.shape[1:]
+    cj = centers
+
+    def one_row(pivot):
+        f3 = p_feats[pivot]
+        val = p_valid[pivot]
+        zr = p_zrel[pivot]
+        ca = p_center[pivot]
+        sh = p_shape[pivot]
+        x = f3[:, 0][None, :].astype(jnp.float32)
+        y = f3[:, 1][None, :].astype(jnp.float32)
+        c = f3[:, 2][None, :]
+        ratio = (ca / jnp.maximum(cj, 1e-6))[:, None]
+        nx = (x * ratio).astype(jnp.int32)
+        ny = (y * ratio).astype(jnp.int32)
+        inb = (
+            val[None, :]
+            & (y < sh[0]) & (x < sh[1])
+            & (ny < jh) & (nx < jw) & (ny >= 0) & (nx >= 0)
+        )
+        nxc = jnp.clip(nx, 0, jw - 1)
+        nyc = jnp.clip(ny, 0, jh - 1)
+        jj = jnp.broadcast_to(jnp.arange(m)[:, None], nxc.shape)
+        z2 = cj[:, None] - z_avg[jj, nyc, nxc]
+        z_ok = jnp.abs(zr[None, :] - z2) < z_check
+        resp = responses[jj, jnp.broadcast_to(c, nxc.shape), nyc, nxc].astype(jnp.float32)
+        score = jnp.sum(jnp.where(inb & z_ok, resp, 0.0), axis=1)
+        count = jnp.sum(inb, axis=1)
+        sim = jnp.where(count > 0, score / jnp.maximum(count, 1) / 4.0 * 100.0, 0.0)
+        return jnp.where((cj > 0) & (ca > 0), sim, 0.0)
+
+    return jax.lax.map(one_row, jnp.arange(p_feats.shape[0]))
+
+
+def similarity_matrix_device(patches, roi_set, z_check: float = 200.0):
+    """Full patches x roi_set similarity matrix on device (one dispatch,
+    one readback).  Semantics identical to feature.similarity_one_to_many
+    per row."""
+    dset = DeviceRoiSet(roi_set, patches, z_check)
+    s = _sim_matrix_jit(
+        dset.p_feats, dset.p_valid, dset.p_zrel, dset.p_center, dset.p_shape,
+        dset.responses, dset.z_avg, dset.center, z_check,
+    )
+    return np.asarray(s)

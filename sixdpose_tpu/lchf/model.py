@@ -140,16 +140,31 @@ def train_forest(
     num_trees: int = 5,
     train_ratio: float = 0.8,
     seed: int = 0,
+    device: bool = False,
     **tree_kw,
 ) -> LchfModel:
     """lchf_model_train (forest.cpp:14-18): bagged forest over patch
-    similarities."""
+    similarities.
+
+    ``device=True`` precomputes the full N x N similarity matrix on the
+    accelerator in ONE dispatch (SURVEY.md §7: training's hot loop is
+    similarity(pivot -> cohort) per split attempt); every split then
+    reads array rows instead of recomputing.
+    """
     pset = PatchSet.from_features(patches)
 
-    def similarity_rows(pivot: int, members: np.ndarray) -> np.ndarray:
-        return similarity_one_to_many(
-            patches[pivot], pset, members, cfg.z_check
-        )
+    if device:
+        from sixdpose_tpu.lchf.device import similarity_matrix_device
+
+        sim_matrix = similarity_matrix_device(patches, pset, cfg.z_check)
+
+        def similarity_rows(pivot: int, members: np.ndarray) -> np.ndarray:
+            return sim_matrix[pivot, np.asarray(members)]
+    else:
+        def similarity_rows(pivot: int, members: np.ndarray) -> np.ndarray:
+            return similarity_one_to_many(
+                patches[pivot], pset, members, cfg.z_check
+            )
 
     forest = Forest(num_trees=num_trees, train_ratio=train_ratio, seed=seed, **tree_kw)
     forest.train(similarity_rows, np.asarray(rpy, np.float32))

