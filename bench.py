@@ -114,6 +114,37 @@ def main() -> int:
             return jax.lax.fori_loop(0, k, lambda i, v: frame_body(v, i), r)
         return prog
 
+    # --- golden gate: the bench must not report fps while the detection
+    # is wrong.  Runs the EXACT code being timed (detect_frame_core with
+    # the production TPU dispatch: approx/exact top-k + Pallas refine) and
+    # asserts the case1 golden position x=327, y=127 (test.cpp:76-88).
+    # Position is exact on both the TPU and CPU paths (round-2 check).
+    if cid != "synthetic":
+        tid, x, y, score, keep = jax.jit(
+            lambda r: detect_frame_core(
+                r, depj, kernels, nfeats, whs, cfg, 75.0, True, feats, valids
+            )
+        )(rgbj)
+        x_np, y_np, s_np, k_np = jax.device_get((x, y, score, keep))
+        ok = [
+            (int(x_np[i]), int(y_np[i]))
+            for i in range(len(s_np))
+            if k_np[i] and s_np[i] >= 0
+        ]
+        if not ok or ok[0] != (327, 127):
+            print(
+                json.dumps(
+                    {
+                        "metric": "match_fps",
+                        "value": 0.0,
+                        "unit": "frames/s",
+                        "vs_baseline": 0.0,
+                        "error": f"golden (327,127) FAILED: got {ok[:3]}",
+                    }
+                )
+            )
+            return 1
+
     k1, k2 = 4, 36
     p1, p2 = chain(k1), chain(k2)
     for p in (p1, p2):  # compile warm (readbacks here are fine: they are
@@ -129,9 +160,17 @@ def main() -> int:
             best = min(best, time.time() - t0)
         return best
 
-    t1, t2 = run(p1), run(p2)
-    best_dt = (t2 - t1) / (k2 - k1)
-    fps = 1.0 / best_dt
+    def slope(p1, p2):
+        """Per-frame seconds; retries when host jitter makes the slope
+        non-positive (t2 <= t1 would otherwise emit negative/inf fps)."""
+        for _ in range(5):
+            t1, t2 = run(p1), run(p2)
+            dt = (t2 - t1) / (k2 - k1)
+            if dt > 0:
+                return dt
+        return max((t2 - t1) / (k2 - k1), 1e-9)
+
+    fps = 1.0 / slope(p1, p2)
 
     print(
         json.dumps(

@@ -240,6 +240,7 @@ class MultiScaleDetector:
         bin_mm: int = 100,
         lo_mm: int = 400,
         hi_mm: int = 2000,
+        table_budget_bytes: int = 2 << 30,
     ):
         self.det = detector
         self.cfg = detector.cfg
@@ -249,6 +250,14 @@ class MultiScaleDetector:
         self.bin_scales = (train_depth / centers).astype(np.float32)
         self.max_scale = float(self.bin_scales.max())
         self._arrays = {}
+        # HBM budget for the prebuilt per-bin weight tables, summed over
+        # classes.  One 337-template VGA bank costs ~0.8 GB; with many
+        # classes the tables would exhaust HBM, so classes beyond the
+        # budget fall back to the on-device scatter build (w_bins=None,
+        # memory-lean, ~10 ms/frame slower) and least-recently-used
+        # tables are evicted first.
+        self.table_budget_bytes = int(table_budget_bytes)
+        self._table_bytes: dict = {}  # class_id -> bytes (insertion = LRU order)
 
     def _feature_arrays(self, class_id: str):
         if class_id not in self._arrays:
@@ -275,14 +284,39 @@ class MultiScaleDetector:
             # Prebuild per-depth-bin matmul weights on the host (the
             # on-device scatter costs ~10 ms/frame; bins are discrete so
             # the tables build once — NB * khb*kwb * N * C*t*t int8,
-            # ~0.8 GB for a 337-template VGA bank).
+            # ~0.8 GB for a 337-template VGA bank) — but only while the
+            # summed table size stays inside ``table_budget_bytes``;
+            # beyond that, evict LRU tables, and if this class alone
+            # exceeds the budget use the scatter-build path (w_bins=None).
             coarse = levels - 1
             t_c = self.cfg.t_at_level[coarse]
             kh_c, kw_c = kdims[coarse]
-            w_np, nf_np = multiscale_weights_host(
-                feats_np[coarse], valids_np[coarse], self.bin_scales,
-                t_c, kh_c, kw_c, 8 * self.cfg.num_modalities,
+            c = 8 * self.cfg.num_modalities
+            khb, kwb = -(-kh_c // t_c), -(-kw_c // t_c)
+            nb = len(self.bin_scales)
+            table_bytes = (
+                nb * khb * kwb * len(tmpls) * c * t_c * t_c  # w int8
+                + nb * len(tmpls) * 4  # nf int32
             )
+            w_dev = nf_dev = None
+            if table_bytes <= self.table_budget_bytes:
+                while (
+                    self._table_bytes
+                    and sum(self._table_bytes.values()) + table_bytes
+                    > self.table_budget_bytes
+                ):
+                    evict = next(iter(self._table_bytes))
+                    self._table_bytes.pop(evict)
+                    old = self._arrays.pop(evict, None)
+                    if old is not None:
+                        self._arrays[evict] = old[:5] + (None, None)
+                w_np, nf_np = multiscale_weights_host(
+                    feats_np[coarse], valids_np[coarse], self.bin_scales,
+                    t_c, kh_c, kw_c, c,
+                )
+                w_dev = jnp.asarray(w_np)
+                nf_dev = jnp.asarray(nf_np)
+                self._table_bytes[class_id] = table_bytes
             # Upload once; never read device arrays back (a D2H round trip
             # permanently drops tunneled devices from async to synchronous
             # dispatch, ~22 ms/call).
@@ -295,9 +329,13 @@ class MultiScaleDetector:
                 tuple(whs),
                 jnp.asarray(self.bin_scales),
                 tuple(kdims),
-                jnp.asarray(w_np),
-                jnp.asarray(nf_np),
+                w_dev,
+                nf_dev,
             )
+        else:
+            # LRU touch.
+            if class_id in self._table_bytes:
+                self._table_bytes[class_id] = self._table_bytes.pop(class_id)
         return self._arrays[class_id]
 
     def match(

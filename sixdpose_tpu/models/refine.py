@@ -51,6 +51,21 @@ def backproject(depth_mm: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
+def _shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift the leading two (H, W) axes by (dy, dx) with ZERO fill.
+
+    result[y, x] = a[y - dy, x - dx], zeros outside the frame.  Unlike
+    ``jnp.roll`` this never wraps opposite image borders into each other,
+    so border pixels see missing neighbors as invalid (zero) samples.
+    """
+    h, w = a.shape[0], a.shape[1]
+    pad = ((max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))) + (
+        ((0, 0),) * (a.ndim - 2)
+    )
+    ap = jnp.pad(a, pad)
+    return ap[max(-dy, 0) : max(-dy, 0) + h, max(-dx, 0) : max(-dx, 0) + w]
+
+
 def scene_normals(points: jnp.ndarray, edge_thresh: float = 0.02) -> jnp.ndarray:
     """Per-pixel normals from the smoothed point map.
 
@@ -76,16 +91,16 @@ def scene_normals(points: jnp.ndarray, edge_thresh: float = 0.02) -> jnp.ndarray
     den = jnp.zeros_like(valid0)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            num = num + jnp.roll(pv, (dy, dx), axis=(0, 1))
-            den = den + jnp.roll(valid0, (dy, dx), axis=(0, 1))
+            num = num + _shift2d(pv, dy, dx)
+            den = den + _shift2d(valid0, dy, dx)
     sm = num / jnp.maximum(den, 1.0)
     sm = jnp.where(valid0 > 0, sm, 0.0)
 
     r = 2
-    xp = jnp.roll(sm, -r, axis=1)
-    xm = jnp.roll(sm, r, axis=1)
-    yp = jnp.roll(sm, -r, axis=0)
-    ym = jnp.roll(sm, r, axis=0)
+    xp = _shift2d(sm, 0, -r)
+    xm = _shift2d(sm, 0, r)
+    yp = _shift2d(sm, -r, 0)
+    ym = _shift2d(sm, r, 0)
     n = jnp.cross(xp - xm, yp - ym)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = n / jnp.maximum(norm, 1e-12)
@@ -126,18 +141,19 @@ def scene_chroma(rgb: jnp.ndarray, blur: int = 2):
         den = jnp.zeros_like(valid)
         for dy in range(-blur, blur + 1):
             for dx in range(-blur, blur + 1):
-                num = num + jnp.roll(c * valid, (dy, dx), axis=(0, 1))
-                den = den + jnp.roll(valid, (dy, dx), axis=(0, 1))
+                num = num + _shift2d(c * valid, dy, dx)
+                den = den + _shift2d(valid, dy, dx)
         c = num / jnp.maximum(den, 1.0)
     c = jnp.where(valid > 0, c, 0.0)
-    du = (jnp.roll(c, -1, axis=1) - jnp.roll(c, 1, axis=1)) * 0.5
-    dv = (jnp.roll(c, -1, axis=0) - jnp.roll(c, 1, axis=0)) * 0.5
+    du = (_shift2d(c, 0, -1) - _shift2d(c, 0, 1)) * 0.5
+    dv = (_shift2d(c, -1, 0) - _shift2d(c, 1, 0)) * 0.5
     # Zero gradients where any sample in the stencil was invalid: a
-    # difference against a hole is not a real chroma gradient.
+    # difference against a hole is not a real chroma gradient.  Zero-fill
+    # shifts also make the 1-px image border invalid (no wrap-around).
     ok = (
         valid
-        * jnp.roll(valid, 1, axis=1) * jnp.roll(valid, -1, axis=1)
-        * jnp.roll(valid, 1, axis=0) * jnp.roll(valid, -1, axis=0)
+        * _shift2d(valid, 0, 1) * _shift2d(valid, 0, -1)
+        * _shift2d(valid, 1, 0) * _shift2d(valid, -1, 0)
     )
     return c, du * ok, dv * ok
 

@@ -12,19 +12,25 @@ masking, and NMS by a masked O(K^2) suppression sweep — K is small
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def topk_candidates(scores: jnp.ndarray, threshold: float, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "exact"))
+def topk_candidates(
+    scores: jnp.ndarray, threshold: float, k: int, exact: bool = False
+):
     """Top-k (template, y, x) candidates above a score threshold.
 
     Args:
       scores: (N, H, W) float32 normalized scores.
       threshold: minimum score (reference ``score > threshold``, cpp:1843).
       k: fixed candidate budget.
+      exact: force exact ``lax.top_k`` even on TPU at large sizes (for
+        reproducible evaluation runs); also forced globally by setting
+        ``SIXDPOSE_EXACT_TOPK=1`` in the environment.
 
     Returns:
       tid, y, x: (k,) int32 indices; score: (k,) float32 (-1 where invalid).
@@ -38,7 +44,13 @@ def topk_candidates(scores: jnp.ndarray, threshold: float, k: int):
     # unbounded above-threshold candidate list, and refinement + NMS pick
     # the winner from a pool of near-duplicates, so a ~1% tail miss is
     # immaterial.  Exact on CPU and on small inputs (golden tests).
-    if flat.shape[0] > 131072 and jax.default_backend() in ("tpu", "axon"):
+    use_approx = (
+        not exact
+        and not os.environ.get("SIXDPOSE_EXACT_TOPK")
+        and flat.shape[0] > 131072
+        and jax.default_backend() in ("tpu", "axon")
+    )
+    if use_approx:
         top_scores, top_idx = jax.lax.approx_max_k(
             flat, k, recall_target=0.99
         )

@@ -247,12 +247,15 @@ def alic_iterate(
         earlier = jnp.arange(s)[:, None] > jnp.arange(s)[None, :]
         rank = jnp.sum(same & earlier, axis=1)
         slot_ok = (rank < cap) & seed_valid[order]
-        bucket = jnp.full((gh * gw * cap,), -1, jnp.int32)
+        # One extra sentinel slot absorbs overflow/invalid writes so they
+        # can never clobber a legitimate seed in the last real cell (the
+        # duplicate-index .set order is undefined).
+        bucket = jnp.full((gh * gw * cap + 1,), -1, jnp.int32)
         slot_idx = cell_sorted * cap + jnp.minimum(rank, cap - 1)
-        bucket = bucket.at[jnp.where(slot_ok, slot_idx, gh * gw * cap - 1)].set(
+        bucket = bucket.at[jnp.where(slot_ok, slot_idx, gh * gw * cap)].set(
             jnp.where(slot_ok, order.astype(jnp.int32), -1)
         )
-        bucket = bucket.reshape(gh, gw, cap)
+        bucket = bucket[: gh * gw * cap].reshape(gh, gw, cap)
 
         # Candidate superpixels per pixel: 3x3 grid cells.
         cands = []
