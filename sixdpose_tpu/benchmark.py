@@ -39,9 +39,66 @@ def _quads_to_tris(quads):
     return out
 
 
+def _prism(profile_xy: np.ndarray, half_h: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Extrude a CCW 2-D polygon along z into a closed prism.
+
+    Returns (pts (2n+2, 3), faces): top/bottom rings plus center fan
+    vertices (same construction as the hex prism below).
+    """
+    n = len(profile_xy)
+    top = np.concatenate([profile_xy, np.full((n, 1), half_h)], 1)
+    bot = top.copy()
+    bot[:, 2] = -half_h
+    pts = np.concatenate([top, bot, [[0, 0, half_h], [0, 0, -half_h]]])
+    faces = []
+    for i in range(n):
+        j = (i + 1) % n
+        faces += [
+            [i, j, n + i], [j, n + j, n + i],        # side
+            [2 * n, j, i], [2 * n + 1, n + i, n + j]  # caps
+        ]
+    return pts, np.array(faces)
+
+
+def _lathe(profile_rz: np.ndarray, segs: int = 20) -> Tuple[np.ndarray, np.ndarray]:
+    """Revolve an (r, z) profile polyline around the z axis.
+
+    Profile points with r=0 become single axis vertices; consecutive
+    profile rows are stitched with quads (fans where one end is an axis
+    point).  Returns (pts, faces).
+    """
+    th = np.linspace(0, 2 * np.pi, segs, endpoint=False)
+    ring_start = []
+    pts = []
+    for r, z in profile_rz:
+        if r < 1e-9:
+            ring_start.append((len(pts), True))
+            pts.append([0.0, 0.0, z])
+        else:
+            ring_start.append((len(pts), False))
+            for a in th:
+                pts.append([r * np.cos(a), r * np.sin(a), z])
+    faces = []
+    for k in range(len(profile_rz) - 1):
+        s0, ax0 = ring_start[k]
+        s1, ax1 = ring_start[k + 1]
+        for i in range(segs):
+            j = (i + 1) % segs
+            if ax0 and not ax1:
+                faces.append([s0, s1 + i, s1 + j])
+            elif ax1 and not ax0:
+                faces.append([s1, s0 + j, s0 + i])
+            elif not ax0 and not ax1:
+                faces += [[s0 + i, s1 + i, s1 + j], [s0 + i, s1 + j, s0 + j]]
+    return np.array(pts, np.float64), np.array(faces)
+
+
 def make_models() -> Dict[str, dict]:
-    """Three distinct colored meshes (mm): an unequal box, an L-bracket,
-    and a hexagonal prism."""
+    """Eight diverse meshes (mm) spanning the failure modes that matter
+    for template matching + depth-only ICP: an unequal box, a concave
+    L-bracket, a near-symmetric hexagonal prism, a concave cup (interior
+    cavity), a T-bar, an asymmetric wedge, a 5-point star prism, and a
+    TEXTURE-mapped box (exercises the textured render path end to end)."""
     models = {}
 
     half = np.array([30.0, 20.0, 12.0])
@@ -89,6 +146,88 @@ def make_models() -> Dict[str, dict]:
          120 + 100 * np.sin(np.arctan2(pts[:, 1], pts[:, 0] + 1e-9))], 1,
     ).clip(0, 255).astype(np.uint8)
     models["hex"] = {"pts": pts, "faces": np.array(faces), "colors": colors}
+
+    def angle_colors(pts, base=(120, 90, 120), amp=100):
+        a = np.arctan2(pts[:, 1], pts[:, 0] + 1e-9)
+        return np.stack(
+            [base[0] + amp * np.cos(a),
+             base[1] + 60 * (pts[:, 2] > 0),
+             base[2] + amp * np.sin(a)], 1,
+        ).clip(0, 255).astype(np.uint8)
+
+    # Cup: concave solid of revolution — outer wall r=26, interior cavity
+    # r=20 down to 6 mm above the base (ICP sees both walls + rim).
+    profile = np.array([
+        [0.0, -20.0], [26.0, -20.0], [26.0, 20.0],
+        [20.0, 20.0], [20.0, -14.0], [0.0, -14.0],
+    ])
+    pts, faces = _lathe(profile, segs=20)
+    colors = angle_colors(pts, base=(180, 80, 60), amp=60)
+    models["cup"] = {"pts": pts, "faces": faces, "colors": colors}
+
+    # T-bar: concave T-profile extrusion.
+    tprof = np.array([
+        [-30, 25], [30, 25], [30, 10], [8, 10],
+        [8, -30], [-8, -30], [-8, 10], [-30, 10],
+    ], np.float64)[::-1]  # CCW
+    pts, faces = _prism(tprof, 10.0)
+    colors = np.stack(
+        [np.full(len(pts), 70), 120 + 100 * (pts[:, 1] > 10),
+         150 + 80 * (pts[:, 0] > 0)], 1,
+    ).clip(0, 255).astype(np.uint8)
+    models["tbar"] = {"pts": pts, "faces": faces, "colors": colors}
+
+    # Wedge: asymmetric right-angled ramp (no symmetries at all).
+    wprof = np.array([[-30, -18], [30, -18], [30, 2], [-30, 22]], np.float64)
+    pts, faces = _prism(wprof, 12.0)
+    colors = np.stack(
+        [200 - 3 * (pts[:, 1] + 18), np.full(len(pts), 140),
+         60 + 3 * (pts[:, 1] + 18)], 1,
+    ).clip(0, 255).astype(np.uint8)
+    models["wedge"] = {"pts": pts, "faces": faces, "colors": colors}
+
+    # Star prism: 5-point star (spiky silhouette, strong gradients).
+    a = np.linspace(0, 2 * np.pi, 10, endpoint=False) - np.pi / 2
+    r = np.where(np.arange(10) % 2 == 0, 32.0, 14.0)
+    sprof = np.stack([r * np.cos(a), r * np.sin(a)], 1)
+    pts, faces = _prism(sprof, 9.0)
+    models["star"] = {"pts": pts, "faces": faces,
+                      "colors": angle_colors(pts, base=(90, 150, 90))}
+
+    # Near-symmetric cylinder: 24-gon, color breaks the symmetry the
+    # geometry can't (tests the color-verification path).
+    a = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+    cprof = np.stack([24 * np.cos(a), 24 * np.sin(a)], 1)
+    pts, faces = _prism(cprof, 22.0)
+    models["cyl"] = {"pts": pts, "faces": faces,
+                     "colors": angle_colors(pts, base=(60, 60, 160), amp=90)}
+
+    # Textured box: planar-UV checker+gradient texture exercises the
+    # texture-mapped render path (reference renderer.py:316-321) through
+    # training, scene composition, and verification.
+    half = np.array([32.0, 22.0, 10.0])
+    pts = np.array(
+        [[sx * half[0], sy * half[1], sz * half[2]]
+         for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    )
+    quads = [(0, 1, 3, 2), (4, 5, 7, 6), (0, 1, 5, 4),
+             (2, 3, 7, 6), (0, 2, 6, 4), (1, 3, 7, 5)]
+    uv = np.stack(
+        [(pts[:, 0] + half[0]) / (2 * half[0]),
+         (pts[:, 1] + half[1]) / (2 * half[1])], 1,
+    )
+    ty, tx = np.mgrid[0:64, 0:64]
+    checker = ((tx // 8 + ty // 8) % 2).astype(np.float32)
+    tex = np.stack(
+        [60 + 180 * checker, 40 + 3 * tx.astype(np.float32),
+         220 - 180 * checker], -1,
+    ).clip(0, 255).astype(np.uint8)
+    models["texbox"] = {
+        "pts": pts, "faces": np.array(_quads_to_tris(quads)),
+        "texture_uv": uv, "texture": tex,
+        # fallback colors for paths that ignore textures
+        "colors": np.full((len(pts), 3), 150, np.uint8),
+    }
     return models
 
 
@@ -113,7 +252,10 @@ def make_scene(
              rng.uniform(-spread_mm * 0.7, spread_mm * 0.7),
              rng.uniform(*depth_range)]
         )
-        r_i, d_i = render(model, im_size, K, R, t, mode="rgb+depth")
+        r_i, d_i = render(
+            model, im_size, K, R, t, mode="rgb+depth",
+            texture=model.get("texture"),
+        )
         r_i = np.asarray(r_i)
         d_i = np.asarray(d_i)
         closer = (d_i > 0) & ((depth == 0) | (d_i < depth))

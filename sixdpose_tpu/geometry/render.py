@@ -152,7 +152,9 @@ def render_depth(
         l0 = ((by - cy) * (fx - cx) + (cx - bx) * (fy - cy)) / d
         l1 = ((cy - ay) * (fx - cx) + (ax - cx) * (fy - cy)) / d
         l2 = 1.0 - l0 - l1
-        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+        # -1e-5 slack: pixels exactly on a shared edge can round to a tiny
+        # negative lambda in BOTH triangles, leaving one-pixel cracks.
+        inside = (l0 >= -1e-5) & (l1 >= -1e-5) & (l2 >= -1e-5)
 
         # Perspective-correct depth: 1 / sum(lambda_i / z_i).
         izp = (
@@ -281,7 +283,9 @@ def render_rgb_depth(
         l0 = ((by - cy) * (fx - cx) + (cx - bx) * (fy - cy)) / d
         l1 = ((cy - ay) * (fx - cx) + (ax - cx) * (fy - cy)) / d
         l2 = 1.0 - l0 - l1
-        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+        # -1e-5 slack: pixels exactly on a shared edge can round to a tiny
+        # negative lambda in BOTH triangles, leaving one-pixel cracks.
+        inside = (l0 >= -1e-5) & (l1 >= -1e-5) & (l2 >= -1e-5)
         izp = (
             l0 * tiz[:, 0, None, None]
             + l1 * tiz[:, 1, None, None]
@@ -310,6 +314,142 @@ def render_rgb_depth(
     return rgb, depth
 
 
+@functools.partial(jax.jit, static_argnames=("im_size", "tile_px", "chunk"))
+def render_textured(
+    pts: jnp.ndarray,
+    faces: jnp.ndarray,
+    uv: jnp.ndarray,
+    texture: jnp.ndarray,
+    K: jnp.ndarray,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    im_size: Tuple[int, int],
+    clip_near: float = 100.0,
+    clip_far: float = 10000.0,
+    tile_px: int = 16,
+    chunk: int = 8192,
+    ambient: float = 0.4,
+):
+    """Depth + texture-mapped RGB (reference renderer.py:206-265,316-321:
+    texture2D fetch modulated by flat-shaded light).
+
+    uv: (V, 2) float texture coordinates in [0, 1], origin bottom-left
+    (the reference flipud's the texture before GL upload, renderer.py:319
+    — same convention here: v=0 is the BOTTOM row of ``texture``).
+    texture: (Th, Tw, 3) float32 in [0, 1].
+    Returns (rgb uint8 (H, W, 3), depth float32 (H, W)).
+
+    UVs are interpolated perspective-correct per pixel (barycentric over
+    attr/z, normalized by the interpolated 1/z), then sampled bilinearly —
+    the TPU analog of the GL varying + texture2D path.
+    """
+    w, h = im_size
+    depth = render_depth(
+        pts, faces, K, R, t, im_size, clip_near, clip_far, tile_px, chunk
+    )
+
+    cam = pts @ R.T + jnp.reshape(t, (1, 3))
+    z = cam[:, 2]
+    u_s = cam[:, 0] / z * K[0, 0] + K[0, 2]
+    v_s = cam[:, 1] / z * K[1, 1] + K[1, 2]
+    inv_z = 1.0 / z
+    uv_over_z = uv * inv_z[:, None]  # (V, 2) for perspective-correct interp
+
+    # Per-face flat shade (headlight), like render_rgb_depth.
+    p0, p1, p2 = cam[faces[:, 0]], cam[faces[:, 1]], cam[faces[:, 2]]
+    n = jnp.cross(p1 - p0, p2 - p0)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    shade_f = jnp.clip(ambient + (1 - ambient) * jnp.abs(n[:, 2]), 0.0, 1.0)
+
+    nf = faces.shape[0]
+    pad = (-nf) % chunk
+    faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
+    shade_p = jnp.pad(shade_f, (0, pad))
+    valid_tri = jnp.pad(jnp.ones((nf,), bool), (0, pad))
+    dump = h * w
+    p = tile_px
+    yy, xx = jnp.mgrid[0:p, 0:p]
+
+    def raster_chunk(args):
+        f, shd, tri_ok = args
+        tu, tv, tiz, tz = u_s[f], v_s[f], inv_z[f], z[f]
+        tuvz = uv_over_z[f]  # (chunk, 3, 2)
+        front = jnp.all(tz > clip_near, 1) & jnp.all(tz < clip_far, 1)
+        x0 = jnp.clip(jnp.floor(jnp.min(tu, 1)), 0, w - 1).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(jnp.min(tv, 1)), 0, h - 1).astype(jnp.int32)
+        fits = (jnp.max(tu, 1) - x0 < p) & (jnp.max(tv, 1) - y0 < p)
+        ok = tri_ok & front & fits
+        px = x0[:, None, None] + xx[None]
+        py = y0[:, None, None] + yy[None]
+        fx, fy = px.astype(jnp.float32), py.astype(jnp.float32)
+        ax, ay = tu[:, 0, None, None], tv[:, 0, None, None]
+        bx, by = tu[:, 1, None, None], tv[:, 1, None, None]
+        cx, cy = tu[:, 2, None, None], tv[:, 2, None, None]
+        d = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        d = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        l0 = ((by - cy) * (fx - cx) + (cx - bx) * (fy - cy)) / d
+        l1 = ((cy - ay) * (fx - cx) + (ax - cx) * (fy - cy)) / d
+        l2 = 1.0 - l0 - l1
+        # -1e-5 slack: pixels exactly on a shared edge can round to a tiny
+        # negative lambda in BOTH triangles, leaving one-pixel cracks.
+        inside = (l0 >= -1e-5) & (l1 >= -1e-5) & (l2 >= -1e-5)
+        izp = (
+            l0 * tiz[:, 0, None, None]
+            + l1 * tiz[:, 1, None, None]
+            + l2 * tiz[:, 2, None, None]
+        )
+        zp = 1.0 / jnp.maximum(izp, 1e-12)
+        uvp = (
+            l0[..., None] * tuvz[:, None, None, 0]
+            + l1[..., None] * tuvz[:, None, None, 1]
+            + l2[..., None] * tuvz[:, None, None, 2]
+        ) * zp[..., None]  # (chunk, p, p, 2)
+        good = inside & ok[:, None, None] & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        zref = depth.reshape(-1)[
+            jnp.clip(py * w + px, 0, h * w - 1).reshape(f.shape[0], -1)
+        ].reshape(py.shape)
+        win = good & (jnp.abs(zp - zref) < 0.5)
+        idx = jnp.where(win, py * w + px, dump)
+        attr = jnp.concatenate(
+            [uvp, jnp.broadcast_to(shd[:, None, None, None], px.shape + (1,))],
+            axis=-1,
+        )
+        return idx.reshape(-1), attr.reshape(-1, 3)
+
+    idxs, attrs = jax.lax.map(
+        raster_chunk,
+        (
+            faces_p.reshape(-1, chunk, 3),
+            shade_p.reshape(-1, chunk),
+            valid_tri.reshape(-1, chunk),
+        ),
+    )
+    buf = jnp.zeros((h * w + 1, 3), jnp.float32)
+    buf = buf.at[idxs.reshape(-1)].set(attrs.reshape(-1, 3))
+    uv_img = buf[: h * w, :2].reshape(h, w, 2)
+    shade_img = buf[: h * w, 2].reshape(h, w)
+
+    # Bilinear texture fetch; v=0 at the bottom row (GL convention).
+    th, tw = texture.shape[0], texture.shape[1]
+    tx = jnp.clip(uv_img[..., 0], 0.0, 1.0) * (tw - 1)
+    ty = (1.0 - jnp.clip(uv_img[..., 1], 0.0, 1.0)) * (th - 1)
+    x0i = jnp.floor(tx).astype(jnp.int32)
+    y0i = jnp.floor(ty).astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, tw - 1)
+    y1i = jnp.minimum(y0i + 1, th - 1)
+    wx = (tx - x0i)[..., None]
+    wy = (ty - y0i)[..., None]
+    tex = (
+        texture[y0i, x0i] * (1 - wx) * (1 - wy)
+        + texture[y0i, x1i] * wx * (1 - wy)
+        + texture[y1i, x0i] * (1 - wx) * wy
+        + texture[y1i, x1i] * wx * wy
+    )
+    rgb = tex * shade_img[..., None]
+    rgb = jnp.where(depth[..., None] > 0, rgb, 0.0)
+    return jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8), depth
+
+
 def render(
     model: dict,
     im_size: Tuple[int, int],
@@ -321,6 +461,7 @@ def render(
     mode: str = "depth",
     tile_px: int = 16,
     ssaa: int = 1,
+    texture: Optional[np.ndarray] = None,
 ):
     """Reference-compatible entry (pysixd/renderer.py render:306).
 
@@ -329,6 +470,11 @@ def render(
     'rgb+depth', rgb for 'rgb'.  ``ssaa`` supersamples the RGB render
     (the reference renders templates at 4x and downsamples,
     renderer.py surface_color / linemod_and_levelup_test.py:233).
+
+    ``texture``: (Th, Tw, 3) image (uint8 or [0,1] float).  When given and
+    the model has 'texture_uv' (load_ply parses it), RGB is texture-mapped
+    with perspective-correct UV interpolation instead of vertex-colored
+    (reference renderer.py:316-321 — T-LESS canon/reconst, rutgers).
     """
     if ssaa > 1 and mode in ("rgb", "rgb+depth"):
         w, h = im_size
@@ -339,7 +485,7 @@ def render(
         Ks[2, 2] = 1.0
         out = render(
             model, (w * ssaa, h * ssaa), Ks, R, t,
-            clip_near, clip_far, mode, tile_px, ssaa=1,
+            clip_near, clip_far, mode, tile_px, ssaa=1, texture=texture,
         )
         rgb_hi, depth_hi = out if mode == "rgb+depth" else (out, None)
         rgb_np = np.asarray(rgb_hi, np.float32)
@@ -361,6 +507,14 @@ def render(
         if colors_np is None
         else np.asarray(colors_np, np.float64)
     )
+    use_texture = texture is not None and "texture_uv" in model
+    uv_np = (
+        np.asarray(model["texture_uv"], np.float64)
+        if use_texture
+        else np.zeros((len(pts_np), 2))
+    )
+    # Attributes carried through subdivision: colors + uv.
+    attr_np = np.concatenate([col_np, uv_np], axis=1)
 
     # Auto-subdivide so every projected triangle fits the raster tile.
     # The subdivision level k is quantized to powers of two so the mesh
@@ -388,9 +542,10 @@ def render(
         cache = model.setdefault("_subdiv_cache", {})
         if k not in cache:
             cache[k] = subdivide_mesh(
-                pts_np, faces_np, max_edge=edge_max / (2**k), attrs=col_np
+                pts_np, faces_np, max_edge=edge_max / (2**k), attrs=attr_np
             )
-        pts_np, faces_np, col_np = cache[k]
+        pts_np, faces_np, attr_np = cache[k]
+        col_np, uv_np = attr_np[:, :3], attr_np[:, 3:5]
 
     pts = jnp.asarray(pts_np.astype(np.float32))
     faces = jnp.asarray(faces_np.astype(np.int32))
@@ -401,10 +556,21 @@ def render(
         return render_depth(
             pts, faces, Kj, Rj, tj, tuple(im_size), clip_near, clip_far, tile_px
         )
-    col = jnp.asarray((col_np / 255.0).astype(np.float32))
-    rgb, depth = render_rgb_depth(
-        pts, faces, col, Kj, Rj, tj, tuple(im_size), clip_near, clip_far, tile_px
-    )
+    if use_texture:
+        tex_np = np.asarray(texture, np.float32)
+        if tex_np.max() > 1.0:
+            tex_np = tex_np / 255.0
+        rgb, depth = render_textured(
+            pts, faces,
+            jnp.asarray(uv_np.astype(np.float32)),
+            jnp.asarray(tex_np[..., :3]),
+            Kj, Rj, tj, tuple(im_size), clip_near, clip_far, tile_px,
+        )
+    else:
+        col = jnp.asarray((col_np / 255.0).astype(np.float32))
+        rgb, depth = render_rgb_depth(
+            pts, faces, col, Kj, Rj, tj, tuple(im_size), clip_near, clip_far, tile_px
+        )
     if mode == "rgb":
         return rgb
     return rgb, depth

@@ -74,6 +74,16 @@ def render_train_templates(
             if model.get("colors") is not None
             else np.full((len(pts_np), 3), 127.0)
         )
+        # Texture-mapped models (reference renderer.py:316-321): carry UVs
+        # through subdivision alongside colors and render via the textured
+        # rasterizer below.
+        use_texture = (
+            model.get("texture") is not None and "texture_uv" in model
+        )
+        if use_texture:
+            colors_np = np.concatenate(
+                [colors_np, np.asarray(model["texture_uv"], np.float64)], 1
+            )
         extent = float(np.linalg.norm(pts_np, axis=1).max())
         z_min = max(float(radius) - extent, 50.0)
         ppm = max(K[0][0], K[1][1]) / z_min
@@ -91,7 +101,14 @@ def render_train_templates(
             )
         ptsj = jnp.asarray(pts_np.astype(np.float32))
         facesj = jnp.asarray(faces_np.astype(np.int32))
-        colj = jnp.asarray((colors_np / 255.0).astype(np.float32))
+        if use_texture:
+            uvj = jnp.asarray(colors_np[:, 3:5].astype(np.float32))
+            tex_np = np.asarray(model["texture"], np.float32)
+            if tex_np.max() > 1.0:
+                tex_np = tex_np / 255.0
+            texj = jnp.asarray(tex_np[..., :3])
+        else:
+            colj = jnp.asarray((colors_np / 255.0).astype(np.float32))
         Kj = jnp.asarray(np.asarray(K, np.float32))
 
         # Render + quantize views in device batches (two dispatches per
@@ -103,13 +120,24 @@ def render_train_templates(
         cfg = detector.cfg
         levels = cfg.pyramid_levels
         batch = 16
-        batch_render = jax.jit(
-            jax.vmap(
-                lambda R, t: render_rgb_depth(
-                    ptsj, facesj, colj, Kj, R, t, tuple(im_size)
+        if use_texture:
+            from sixdpose_tpu.geometry.render import render_textured
+
+            batch_render = jax.jit(
+                jax.vmap(
+                    lambda R, t: render_textured(
+                        ptsj, facesj, uvj, texj, Kj, R, t, tuple(im_size)
+                    )
                 )
             )
-        )
+        else:
+            batch_render = jax.jit(
+                jax.vmap(
+                    lambda R, t: render_rgb_depth(
+                        ptsj, facesj, colj, Kj, R, t, tuple(im_size)
+                    )
+                )
+            )
 
         def quantize_one(rgb, dep):
             color = []

@@ -180,3 +180,67 @@ def test_render_ssaa():
     nz = depth > 0
     assert nz.any()
     assert abs(depth[nz].min() - 560.0) < 3.0
+
+
+def test_render_textured():
+    """Texture-mapped rendering (reference renderer.py:206-265,316-321):
+    a fronto-parallel quad textured with a half-red/half-blue image must
+    show red on the left and blue on the right, with v=0 sampling the
+    BOTTOM texture row (the reference flipud's before GL upload)."""
+    # Quad 80x80 mm at z=0, facing camera; uv: u left->right, v bottom->top.
+    pts = np.array(
+        [[-40, -40, 0], [40, -40, 0], [40, 40, 0], [-40, 40, 0]], np.float64
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    # +y is DOWN in camera coords, so vertex 0 (-40,-40) is top-left on
+    # screen; uv assigns v=1 (texture top) to those vertices.
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float64)
+    model = {"pts": pts, "faces": faces, "texture_uv": uv}
+    # Texture: left half red, right half blue; top row green stripe.
+    tex = np.zeros((64, 64, 3), np.uint8)
+    tex[:, :32] = (255, 0, 0)
+    tex[:, 32:] = (0, 0, 255)
+    tex[:4, :] = (0, 255, 0)
+    K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]])
+    rgb, depth = render(
+        model, (160, 120), K, np.eye(3), [0, 0, 400.0],
+        mode="rgb+depth", texture=tex,
+    )
+    rgb = np.asarray(rgb)
+    depth = np.asarray(depth)
+    assert abs(depth[60, 80] - 400.0) < 1.0
+    left = rgb[60, 60]   # inside quad, left side
+    right = rgb[60, 100]
+    assert left[0] > 100 and left[2] < 50, left      # red
+    assert right[2] > 100 and right[0] < 50, right   # blue
+    # Texture top row (v=1) must land at the TOP of the screen quad.
+    ys, xs = np.nonzero(depth > 0)
+    top_row = rgb[ys.min() + 1]
+    top_px = top_row[xs[ys == ys.min() + 1]]
+    assert (top_px[:, 1] > 100).mean() > 0.5, top_px[:3]  # green stripe
+
+
+def test_render_textured_matches_vertex_colors_on_flat_tex():
+    """A constant texture must reproduce the constant-vertex-color render
+    (same rasterization + shading path)."""
+    pts, faces = _sphere_mesh()
+    uv = np.stack(
+        [np.linspace(0, 1, len(pts)), np.linspace(0, 1, len(pts))], 1
+    )
+    K = np.array([[572.4, 0, 320], [0, 573.6, 240], [0, 0, 1]])
+    model = {
+        "pts": pts, "faces": faces, "texture_uv": uv,
+        "colors": np.full((len(pts), 3), 200, np.uint8),
+    }
+    tex = np.full((16, 16, 3), 200, np.uint8)
+    rgb_t, d_t = render(model, (160, 120), K * np.diag([0.25, 0.25, 1]) + 0,
+                        np.eye(3), [0, 0, 600.0], mode="rgb+depth",
+                        texture=tex)
+    rgb_c, d_c = render(model, (160, 120), K * np.diag([0.25, 0.25, 1]) + 0,
+                        np.eye(3), [0, 0, 600.0], mode="rgb+depth")
+    np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_c))
+    m = np.asarray(d_t) > 0
+    diff = np.abs(
+        np.asarray(rgb_t, np.int32)[m] - np.asarray(rgb_c, np.int32)[m]
+    )
+    assert diff.mean() < 2.0
