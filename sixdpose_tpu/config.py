@@ -32,6 +32,10 @@ class DepthNormalConfig:
     num_features: int = 63
     extract_threshold: int = 2        # distance-transform score gate
     focal: float = 1150.0             # reference hard-codes 1150 (cpp:781-783)
+    lut_parity: bool = False          # emulate NORMAL_LUT's 20-grid
+    #                                   truncation bit-exactly (default:
+    #                                   continuous azimuth, strictly more
+    #                                   accurate; see ops/quantize.py)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -116,8 +116,31 @@ def _match_class(
     tid, yi, xi, score = topk_candidates(scores, threshold, top_k)
     x = xi * t_c + _offset(t_c)
     y = yi * t_c + _offset(t_c)
+    return pyramid_refine(
+        response_pyramid, kernels, nfeats, whs, t_at_level, threshold,
+        tid, x, y, score, feats, valids,
+    )
 
-    # --- local refinement marching down the pyramid (cpp:1854-1938) ---
+
+def pyramid_refine(
+    response_pyramid,
+    kernels,
+    nfeats,
+    whs,
+    t_at_level: Tuple[int, ...],
+    threshold,
+    tid,
+    x,
+    y,
+    score,
+    feats=None,
+    valids=None,
+):
+    """Candidate-local refinement marching down the pyramid
+    (cpp:1854-1938), shared by the single-class and multi-class matchers.
+    Candidate arrays are (K,) with global template ids into the bank
+    arrays.  Returns updated (tid, x, y, score)."""
+    levels = len(t_at_level)
     for l in range(levels - 2, -1, -1):
         t = t_at_level[l]
         border = 8 * t
@@ -186,6 +209,7 @@ def _build_response_pyramid_jax(
             cfg.depth.distance_threshold,
             cfg.depth.difference_threshold,
             cfg.depth.focal,
+            cfg.depth.lut_parity,
         )
         for l in range(levels):
             per_level_channels[l].append(qs[l])

@@ -1,0 +1,355 @@
+"""Fused detect -> refine -> verify: ONE compiled program per frame.
+
+SURVEY.md §6 names detect->refine->score as one compiled path; round 1
+fused only the match.  The reference's serving loop (linemod_ros/
+detect.py:94-150, linemod_and_levelup_test.py:324-376) interleaves host
+work between match and every per-candidate poseRefine: render model
+depth, crop, build clouds, run Open3D ICP serially.  Here everything the
+refine stage needs is precomputed per template at TRAIN time (the
+``icp_points`` cloud stored in the template info, models/train.py) and
+uploaded once per class as device arrays, so a frame is:
+
+    quantize -> spread -> response -> dense similarity -> top-K
+    -> pyramid refine -> NMS -> candidate seeding (window median depth)
+    -> batched projective point-to-plane ICP -> pose verification
+    -> pose composition
+
+in a single XLA dispatch with a single host readback of fixed-size
+result arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sixdpose_tpu.config import DetectorConfig, IcpConfig
+from sixdpose_tpu.models.detector import Detector, detect_frame_core
+from sixdpose_tpu.models.refine import (
+    backproject,
+    icp_batch,
+    scene_chroma,
+    scene_normals,
+    verify_poses,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RefineBank:
+    """Per-class device arrays for the fused refine stage.
+
+    clouds: (N, P, 3) float32 template clouds (meters, render frame).
+    valids: (N, P) bool.
+    chroma: (N, P, 2) float32 lighting-normalized chroma or None.
+    src_c:  (N, 3) cloud centroids.
+    bbox_wh:(N, 2) int32 render bbox (w, h) at level 0.
+    base_T: (N, 4, 4) float32 template pose (cam_R_w2c | cam_t_w2c with
+      the reference's z mm->m quirk, linemodLevelup.cpp:37).
+    win:    static (win_h, win_w) median window covering the largest bbox.
+    """
+
+    clouds: jnp.ndarray
+    valids: jnp.ndarray
+    chroma: Optional[jnp.ndarray]
+    src_c: jnp.ndarray
+    bbox_wh: jnp.ndarray
+    base_T: jnp.ndarray
+    win: Tuple[int, int]
+
+
+def build_refine_bank(
+    detector: Detector, class_id: str, num_points: int = 512
+) -> Optional[RefineBank]:
+    """Stack the train-time ``icp_points`` clouds of a class into device
+    arrays.  Returns None when any template lacks them (banks imported
+    from the reference store features only)."""
+    infos = detector.bank.infos.get(class_id, [])
+    n = detector.bank.num_templates(class_id)
+    if n == 0 or len(infos) < n:
+        return None
+    clouds = np.zeros((n, num_points, 3), np.float32)
+    valids = np.zeros((n, num_points), bool)
+    chroma = np.zeros((n, num_points, 2), np.float32)
+    has_color = True
+    src_c = np.zeros((n, 3), np.float32)
+    bbox_wh = np.zeros((n, 2), np.int32)
+    base_T = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    for i in range(n):
+        info = infos[i]
+        if "icp_points" not in info or "cam_R_w2c" not in info:
+            return None
+        pts = np.asarray(info["icp_points"], np.float32)
+        if len(pts) > num_points:
+            sel = np.linspace(0, len(pts) - 1, num_points).astype(np.int64)
+            pts_s = pts[sel]
+        else:
+            sel = None
+            pts_s = pts
+        clouds[i, : len(pts_s)] = pts_s
+        valids[i, : len(pts_s)] = True
+        src_c[i] = pts.mean(0)
+        if "icp_colors" in info:
+            col = np.asarray(info["icp_colors"], np.float32)
+            col = col[sel] if sel is not None else col
+            chroma[i, : len(pts_s)] = col[:, :2] / np.maximum(
+                col.sum(-1, keepdims=True), 1e-6
+            )
+        else:
+            has_color = False
+        bx0, by0, bx1, by1 = np.asarray(info["render_bbox"])
+        bbox_wh[i] = (int(bx1 - bx0), int(by1 - by0))
+        base_T[i, :3, :3] = np.asarray(info["cam_R_w2c"], np.float32)
+        base_T[i, :3, 3] = np.asarray(info["cam_t_w2c"], np.float32).ravel()
+        base_T[i, 2, 3] /= 1000.0  # reference quirk: z mm -> m (cpp:37)
+    win_w = int(min(-(-(bbox_wh[:, 0].max() + 1) // 16) * 16, 192))
+    win_h = int(min(-(-(bbox_wh[:, 1].max() + 1) // 16) * 16, 192))
+    return RefineBank(
+        clouds=jnp.asarray(clouds),
+        valids=jnp.asarray(valids),
+        chroma=jnp.asarray(chroma) if has_color else None,
+        src_c=jnp.asarray(src_c),
+        bbox_wh=jnp.asarray(bbox_wh),
+        base_T=jnp.asarray(base_T),
+        win=(win_h, win_w),
+    )
+
+
+def _masked_median(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of ``vals`` where ``mask`` (flat arrays); 0 when empty."""
+    big = jnp.float32(1e9)
+    v = jnp.where(mask, vals, big)
+    v = jnp.sort(v)
+    cnt = jnp.sum(mask)
+    k = jnp.maximum(cnt - 1, 0) // 2
+    med = v[k]
+    return jnp.where(cnt > 0, med, 0.0)
+
+
+def detect_refine_core(
+    rgb: Optional[jnp.ndarray],
+    depth: jnp.ndarray,
+    kernels,
+    nfeats,
+    whs,
+    cfg: DetectorConfig,
+    threshold: float,
+    feats,
+    valids,
+    rb: RefineBank,
+    icp: IcpConfig,
+    K: jnp.ndarray,
+    max_refine: int,
+    verify_pts: Optional[jnp.ndarray] = None,
+    verify_colors: Optional[jnp.ndarray] = None,
+    verify_tau: float = 15.0,
+    verify_color_weight: float = 0.5,
+):
+    """Traceable fused frame: match + batched ICP + verify, no host trips.
+
+    Returns per-candidate arrays of length ``max_refine``:
+      (tid, x, y, score, R (R,3,3), t_mm (R,3), fitness, verify, active).
+    Inactive slots have active=False.
+    """
+    h, w = depth.shape
+    tid, x, y, score, keep = detect_frame_core(
+        rgb, depth, kernels, nfeats, whs, cfg, threshold, True, feats, valids
+    )
+    # Rank surviving matches and take the top max_refine (score is already
+    # sorted desc; push suppressed/invalid to the back).
+    rank = jnp.where(keep & (score >= 0), score, -jnp.inf)
+    order = jnp.argsort(-rank)[:max_refine]
+    tid_r = tid[order]
+    x_r = x[order]
+    y_r = y[order]
+    score_r = score[order]
+    active = jnp.isfinite(rank[order]) & (score_r >= 0)
+
+    # --- candidate seeding: window median depth -> centroid shift -------
+    win_h, win_w = rb.win
+    depth_f = depth.astype(jnp.float32)
+    depth_pad = jnp.pad(depth_f, ((0, win_h), (0, win_w)))
+    wh_r = rb.bbox_wh[tid_r]  # (R, 2) int32
+
+    def seed_one(xi, yi, whi, src_ci):
+        window = jax.lax.dynamic_slice(
+            depth_pad,
+            (jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)),
+            (win_h, win_w),
+        )
+        ii = jnp.arange(win_h)[:, None]
+        jj = jnp.arange(win_w)[None, :]
+        mask = (ii <= whi[1]) & (jj <= whi[0]) & (window > 0)
+        z_med = _masked_median(window.reshape(-1), mask.reshape(-1)) / 1000.0
+        z_med = jnp.where(z_med > 0, z_med, 0.5)
+        u = xi.astype(jnp.float32) + whi[0].astype(jnp.float32) / 2.0
+        v = yi.astype(jnp.float32) + whi[1].astype(jnp.float32) / 2.0
+        target = jnp.stack(
+            [
+                (u - K[0, 2]) / K[0, 0] * z_med,
+                (v - K[1, 2]) / K[1, 1] * z_med,
+                z_med,
+            ]
+        )
+        T0 = jnp.eye(4, dtype=jnp.float32)
+        return T0.at[:3, 3].set(target - src_ci)
+
+    init_T = jax.vmap(seed_one)(x_r, y_r, wh_r, rb.src_c[tid_r])
+
+    # --- batched ICP -----------------------------------------------------
+    sp = backproject(depth, K)
+    sn = scene_normals(sp)
+    clouds_r = rb.clouds[tid_r]
+    valid_r = rb.valids[tid_r] & active[:, None]
+    use_color = rb.chroma is not None and rgb is not None and icp.color_weight > 0
+    chroma_r = rb.chroma[tid_r] if use_color else None
+    chroma_maps = scene_chroma(rgb) if use_color else None
+    Ts, fits, _ = icp_batch(
+        clouds_r,
+        valid_r,
+        sp,
+        sn,
+        K,
+        init_T,
+        icp.corr_dist,
+        icp.max_iters,
+        icp.coarse_gate_mult,
+        model_chroma=chroma_r,
+        chroma_maps=chroma_maps,
+        color_weight=icp.color_weight,
+        chroma_scale=icp.chroma_scale,
+    )
+
+    # --- compose with the template pose ----------------------------------
+    result = jnp.einsum("kij,kjl->kil", Ts, rb.base_T[tid_r])
+    R_out = result[:, :3, :3]
+    t_out = result[:, :3, 3] * 1000.0  # mm
+
+    # --- verification -----------------------------------------------------
+    if verify_pts is not None:
+        vscore = verify_poses(
+            verify_pts,
+            R_out,
+            t_out,
+            depth,
+            K,
+            tau_mm=verify_tau,
+            model_colors=verify_colors,
+            rgb=rgb if verify_colors is not None else None,
+            color_weight=verify_color_weight,
+        )
+    else:
+        vscore = jnp.full((max_refine,), -1.0, jnp.float32)
+
+    fits = jnp.where(active, fits, -1.0)
+    return tid_r, x_r, y_r, score_r, R_out, t_out, fits, vscore, active
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "icp", "max_refine", "rb_win", "verify_tau",
+        "verify_color_weight",
+    ),
+)
+def _detect_refine_jit(
+    rgb,
+    depth,
+    kernels,
+    nfeats,
+    whs,
+    cfg,
+    threshold,
+    feats,
+    valids,
+    rb_arrays,
+    rb_win,
+    icp,
+    K,
+    max_refine,
+    verify_pts,
+    verify_colors,
+    verify_tau,
+    verify_color_weight,
+):
+    rb = RefineBank(*rb_arrays, win=rb_win)
+    return detect_refine_core(
+        rgb, depth, kernels, nfeats, whs, cfg, threshold, feats, valids,
+        rb, icp, K, max_refine, verify_pts, verify_colors, verify_tau,
+        verify_color_weight,
+    )
+
+
+class FusedPipeline:
+    """detect+refine+verify for one class as a single-dispatch callable."""
+
+    def __init__(
+        self,
+        detector: Detector,
+        class_id: str,
+        K: np.ndarray,
+        icp: Optional[IcpConfig] = None,
+        max_refine: int = 8,
+        num_points: int = 512,
+        verify_pts: Optional[np.ndarray] = None,
+        verify_colors: Optional[np.ndarray] = None,
+        verify_tau: float = 15.0,
+        verify_color_weight: float = 0.5,
+    ):
+        self.det = detector
+        self.class_id = class_id
+        self.icp = icp or IcpConfig()
+        self.max_refine = max_refine
+        self.K = jnp.asarray(np.asarray(K, np.float32))
+        self.rb = build_refine_bank(detector, class_id, num_points)
+        if self.rb is None:
+            raise ValueError(
+                f"class {class_id!r} lacks icp_points/pose infos; train with "
+                "render_train_templates or use the unfused serving path"
+            )
+        self.verify_pts = (
+            jnp.asarray(np.asarray(verify_pts, np.float32))
+            if verify_pts is not None
+            else None
+        )
+        self.verify_colors = (
+            jnp.asarray(np.asarray(verify_colors, np.float32))
+            if verify_colors is not None
+            else None
+        )
+        self.verify_tau = float(verify_tau)
+        self.verify_color_weight = float(verify_color_weight)
+
+    def __call__(self, rgb, depth, threshold: float):
+        """Returns device arrays (tid, x, y, score, R, t_mm, fitness,
+        verify, active) — ONE dispatch, no readback."""
+        kernels, nfeats, whs = self.det.device_bank(self.class_id)
+        feats, valids = self.det._device_feats[self.class_id]
+        rb = self.rb
+        rb_arrays = (
+            rb.clouds, rb.valids, rb.chroma, rb.src_c, rb.bbox_wh, rb.base_T
+        )
+        return _detect_refine_jit(
+            jnp.asarray(rgb) if rgb is not None else None,
+            jnp.asarray(depth),
+            kernels,
+            nfeats,
+            whs,
+            self.det.cfg,
+            jnp.float32(threshold),
+            feats,
+            valids,
+            rb_arrays,
+            rb.win,
+            self.icp,
+            self.K,
+            self.max_refine,
+            self.verify_pts,
+            self.verify_colors,
+            self.verify_tau,
+            self.verify_color_weight,
+        )

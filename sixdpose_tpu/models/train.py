@@ -156,6 +156,7 @@ def render_train_templates(
                     cfg.depth.distance_threshold,
                     cfg.depth.difference_threshold,
                     cfg.depth.focal,
+                    cfg.depth.lut_parity,
                 )
                 if cfg.use_depth
                 else []

@@ -167,19 +167,36 @@ def quantize_color_gradient(rgb: jnp.ndarray, weak_threshold: float = 10.0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("distance_threshold", "difference_threshold", "focal")
+    jax.jit,
+    static_argnames=(
+        "distance_threshold", "difference_threshold", "focal", "lut_parity"
+    ),
 )
 def quantize_depth_normal(
     depth: jnp.ndarray,
     distance_threshold: int = 2000,
     difference_threshold: int = 50,
     focal: float = 1150.0,
+    lut_parity: bool = False,
 ):
     """Quantize depth-image surface normals to 8 azimuth bits.
+
+    The reference looks the bin up in NORMAL_LUT[20][20][20]
+    (linemodLevelup.cpp:798-803, normal_lut.i).  That table's generating
+    rule — proven EXACTLY over all 20^3 entries in
+    tests/test_quantize.py::test_normal_lut_table_rule — is the azimuth
+    sector round(atan2(ny, nx) * 8 / 2pi) of the cell's CORNER
+    components ((val-10)/10); z never matters.  The default here applies
+    the rule to the CONTINUOUS normal (strictly more accurate: no 0.1-grid
+    truncation noise).  ``lut_parity=True`` reproduces the reference
+    bit-exactly by truncating (nx, ny) to the grid corner first —
+    deviations of the default are bounded to ADJACENT sectors and occur
+    only near sector boundaries (see test_normal_lut_analytic_deviation).
 
     Args:
       depth: (H, W) uint16 depth in mm.
       distance_threshold / difference_threshold / focal: see module docstring.
+      lut_parity: emulate the reference's 20-cell truncation exactly.
 
     Returns:
       (H, W) uint8 one-hot normal byte after a 5x5 median filter.
@@ -216,6 +233,15 @@ def quantize_depth_normal(
     ny = focal * ddy
     nz = -det * d.astype(jnp.float32)
     norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+
+    if lut_parity:
+        # Reference runtime truncation: val = int(n*10+10) (cpp:798-800),
+        # then the LUT bin == azimuth of the corner (val-10)/10.
+        nn = jnp.maximum(norm, 1e-12)
+        v1 = jnp.clip(jnp.floor(nx / nn * 10.0 + 10.0), 0, 19)
+        v2 = jnp.clip(jnp.floor(ny / nn * 10.0 + 10.0), 0, 19)
+        nx = (v1 - 10.0) / 10.0
+        ny = (v2 - 10.0) / 10.0
 
     # Azimuth bin: nearest of 8 sectors (reference NORMAL_LUT semantics).
     ang = jnp.arctan2(ny, nx)
@@ -323,10 +349,13 @@ def depth_normal_pyramid(
     distance_threshold: int = 2000,
     difference_threshold: int = 50,
     focal: float = 1150.0,
+    lut_parity: bool = False,
 ):
     """Quantize depth normals at level 0 and NN-downsample for coarser levels
     (reference DepthNormalPyramid quantizes once and resizes, cpp:857-864)."""
-    q0 = quantize_depth_normal(depth, distance_threshold, difference_threshold, focal)
+    q0 = quantize_depth_normal(
+        depth, distance_threshold, difference_threshold, focal, lut_parity
+    )
     out = [q0]
     cur = q0
     for _ in range(1, levels):

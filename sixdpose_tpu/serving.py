@@ -98,6 +98,11 @@ class PoseEstimationService:
         self.verify_color_weight = verify_color_weight
         self.rank_key = rank_key
         self._render_cache: Dict[tuple, np.ndarray] = {}
+        # Fused single-dispatch detect->refine->verify per class
+        # (models/pipeline.py), built lazily; None marks a class whose
+        # bank lacks train-time clouds (e.g. imported reference banks),
+        # which falls back to the host-orchestrated path below.
+        self._fused: Dict[str, object] = {}
 
     def _template_render(self, class_id: str, template_id: int, im_size) -> Optional[np.ndarray]:
         key = (class_id, template_id, im_size)
@@ -128,10 +133,78 @@ class PoseEstimationService:
             self.det, train_depth, num_scales=num_scales, **kwargs
         )
 
+    def _fused_pipeline(self, class_id: str):
+        """Build (or fetch) the fused one-dispatch pipeline for a class;
+        None when the bank lacks the train-time refine arrays."""
+        if class_id not in self._fused:
+            from sixdpose_tpu.models.pipeline import FusedPipeline
+
+            try:
+                vp, vc = self._verify_points(class_id)
+                self._fused[class_id] = FusedPipeline(
+                    self.det,
+                    class_id,
+                    self.K,
+                    icp=self.icp,
+                    max_refine=self.max_refine,
+                    num_points=min(self.icp.num_model_points, 512),
+                    verify_pts=vp,
+                    verify_colors=vc,
+                    verify_tau=self.verify_tau,
+                    verify_color_weight=self.verify_color_weight,
+                )
+            except (ValueError, KeyError):
+                self._fused[class_id] = None
+        return self._fused[class_id]
+
+    def process_frame_fused(
+        self, rgb: np.ndarray, depth: np.ndarray
+    ) -> Optional[List[PoseEstimate]]:
+        """One-dispatch-per-class detect+refine+verify (SURVEY.md §6's
+        one-compiled-path north star).  Returns None when any class lacks
+        the fused bank (caller falls back to the host-orchestrated path)."""
+        cids = [c for c in self.det.class_ids() if c in self.models]
+        pipes = [self._fused_pipeline(c) for c in cids]
+        if not pipes or any(p is None for p in pipes):
+            return None
+        outs = [p(rgb, depth, self.threshold) for p in pipes]
+        ests: List[PoseEstimate] = []
+        for cid, out in zip(cids, outs):
+            tid, x, y, score, R, t, fit, ver, active = map(
+                np.asarray, out
+            )  # single readback per class
+            for i in range(len(tid)):
+                if not active[i] or fit[i] < self.min_fitness:
+                    continue
+                if ver[i] >= 0 and ver[i] < self.min_verify:
+                    continue
+                ests.append(
+                    PoseEstimate(
+                        class_id=cid,
+                        template_id=int(tid[i]),
+                        x=int(x[i]),
+                        y=int(y[i]),
+                        similarity=float(score[i]),
+                        R=R[i].astype(np.float64),
+                        t=t[i].reshape(3, 1).astype(np.float64),
+                        fitness=float(fit[i]),
+                        verify=float(ver[i]),
+                    )
+                )
+        return nms_norms(ests, self.dedupe_radius_mm, key=self.rank_key)
+
     def process_frame(self, rgb: np.ndarray, depth: np.ndarray) -> List[PoseEstimate]:
-        """Detect -> batched refine -> dedupe for one frame."""
+        """Detect -> batched refine -> dedupe for one frame.
+
+        Prefers the fused single-dispatch path (process_frame_fused) when
+        the banks carry train-time clouds; otherwise orchestrates
+        match -> cloud build -> batched ICP -> verify from the host."""
         h, w = depth.shape
         ms = getattr(self, "_multiscale", None)
+        if ms is None:
+            fused = self.process_frame_fused(rgb, depth)
+            if fused is not None:
+                return fused
         if ms is not None:
             matches = []
             for cid in self.det.class_ids():

