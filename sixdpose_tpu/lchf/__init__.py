@@ -23,7 +23,13 @@ from sixdpose_tpu.lchf.model import (
     scene_roi_set,
     train_forest,
 )
-from sixdpose_tpu.lchf.voting import accumulate_votes, dense_rois, hough_vote
+from sixdpose_tpu.lchf.voting import (
+    accumulate_votes,
+    dense_rois,
+    hough_vote,
+    leaf_mode_map,
+)
+from sixdpose_tpu.lchf.eval import evaluate_recall
 
 __all__ = [
     "LchfConfig",
@@ -46,4 +52,6 @@ __all__ = [
     "accumulate_votes",
     "dense_rois",
     "hough_vote",
+    "leaf_mode_map",
+    "evaluate_recall",
 ]

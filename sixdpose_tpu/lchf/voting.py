@@ -85,6 +85,34 @@ def accumulate_votes(
     return votes
 
 
+def leaf_mode_map(model, bandwidth: float = 1.0):
+    """Mean-shift mode clustering of every leaf's pose labels.
+
+    The reference makes this reduction available at forest.cpp:200-228
+    (lchf_helper::cluster over interleaved 6-D (rpy, t) leaf vectors) but
+    its Python driver votes with raw samples; here both are first-class.
+    Returns [tree] -> {leaf_id: (rpy_modes (C,3), t_modes (C,3),
+    weights (C,))} with weights = cluster size / leaf size, so each leaf
+    still contributes total weight 1 per tree.
+    """
+    from sixdpose_tpu.lchf.meanshift import cluster_leaf_infos
+
+    out = []
+    for tree_leaves in model.leaf_feats_map():
+        modes = {}
+        for leaf, ids in tree_leaves.items():
+            ids = np.asarray(ids)
+            if len(ids) == 0:
+                continue
+            rpy_m, t_m, labels = cluster_leaf_infos(
+                model.rpy[ids], model.t[ids], bandwidth
+            )
+            counts = np.bincount(labels, minlength=len(rpy_m)).astype(np.float64)
+            modes[int(leaf)] = (rpy_m, t_m, counts / len(ids))
+        out.append(modes)
+    return out
+
+
 def hough_vote(
     leaf_per_tree_per_roi: Sequence[Sequence[int]],
     leaf_map,
@@ -96,6 +124,7 @@ def hough_vote(
     steps: int = 10,
     num_angle_bins: int = 10,
     top_k: int = 10,
+    leaf_modes=None,
 ):
     """Full voting pass: expand leaves to votes, accumulate, rank bins.
 
@@ -104,6 +133,9 @@ def hough_vote(
       leaf_map: Forest.leaf_feats_map() output.
       infos_rpy / infos_t: (N_train, 3) labels.
       im_size: (W, H).
+      leaf_modes: optional ``leaf_mode_map`` output — votes are then cast
+        from each leaf's mean-shift modes (weight = cluster fraction)
+        instead of every raw training sample.
 
     Returns (top bins (top_k, 5) int, top scores (top_k,), votes tensor).
     """
@@ -114,6 +146,18 @@ def hough_vote(
     num_trees = len(leaf_map)
     for ri, leaves in enumerate(leaf_per_tree_per_roi):
         for ti, leaf in enumerate(leaves):
+            if leaf_modes is not None:
+                entry = leaf_modes[ti].get(int(leaf))
+                if entry is None:
+                    continue
+                rpy_m, t_m, wm = entry
+                for ci in range(len(wm)):
+                    roi_xy.append(rois[ri, :2])
+                    roi_d.append(rois[ri, 4])
+                    off.append(t_m[ci])
+                    rpy.append(rpy_m[ci])
+                    wgt.append(wm[ci] / num_trees)
+                continue
             ids = leaf_map[ti].get(int(leaf))
             if ids is None or len(ids) == 0:
                 continue

@@ -313,3 +313,121 @@ def test_train_forest_device_matches_host():
             m_dev.forest.trees[ti].nodes[leaf].isleafnode
             for ti, leaf in enumerate(leaves)
         )
+
+
+def test_dense_rois_reference_parity():
+    """dense_rois must reproduce the reference ROI loop EXACTLY
+    (LCHF_test.py:303-334: 5x5 nonzero-mean depth anchored at
+    (x+10, y+10), truncated to int; rois with no valid depth dropped) —
+    including at mask boundaries where the window is partially valid."""
+    rng = np.random.default_rng(7)
+    depth = np.zeros((100, 130), np.uint16)
+    depth[18:77, 25:95] = rng.integers(400, 1200, (59, 70)).astype(np.uint16)
+    depth[30:40, 40:55] = 0  # hole: windows straddling it are partial
+    stride, width, height = 5, 50, 50
+
+    ref = []
+    rows, cols = depth.shape
+    for x in range(0, cols - width - 2 * stride, stride):
+        for y in range(0, rows - height - 2 * stride, stride):
+            vals = depth[y + 10 : y + 15, x + 10 : x + 15].astype(np.float64)
+            nz = vals[vals > 0]
+            if len(nz) == 0:
+                continue
+            ref.append([x, y, width, height, int(nz.mean())])
+    ref = np.array(ref, np.int64)
+
+    got = dense_rois(depth, stride=stride, width=width, height=height)
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    np.testing.assert_array_equal(got[:, :4], ref[:, :4])
+    # float32 whole-image mean vs float64 loop: allow 1 mm truncation skew
+    assert np.max(np.abs(got[:, 4] - ref[:, 4])) <= 1
+
+
+def test_leaf_mode_voting_matches_peak():
+    """Leaf-mode (mean-shift clustered) voting finds the same object
+    center as raw-sample voting, with fewer votes (forest.cpp:200-228)."""
+    from sixdpose_tpu.lchf import leaf_mode_map
+
+    obj = np.zeros((60, 60, 3), np.uint8)
+    yy, xx = np.mgrid[0:60, 0:60]
+    m = ((yy - 30) ** 2 + (xx - 30) ** 2) < 625
+    obj[m] = (180, 90, 40)
+    obj[m & (xx > 30)] = (40, 160, 220)
+    obj_depth = np.where(m, 500 + (xx - 30) * 2, 0).astype(np.uint16)
+
+    train_rgb = np.zeros((120, 140, 3), np.uint8)
+    train_rgb[30:90, 40:100] = obj
+    train_depth = np.zeros((120, 140), np.uint16)
+    train_depth[30:90, 40:100] = obj_depth
+    train_mask = np.zeros((120, 140), np.uint8)
+    train_mask[30:90, 40:100] = m.astype(np.uint8) * 255
+
+    cfg = LchfConfig(num_features=6, extract_threshold=1, strong_threshold=30.0)
+    feats, rpys, ts = make_training_patches(
+        train_rgb, train_depth, train_mask, np.eye(3), cfg, patch=40, stride=10
+    )
+    model = train_forest(
+        feats, np.array(rpys), np.array(ts), cfg, num_trees=2, size_thresh=2, seed=3
+    )
+    modes = leaf_mode_map(model)
+    # every leaf's mode weights sum to 1 (weight conservation per tree)
+    for tree_modes in modes:
+        for _, (_, _, w) in tree_modes.items():
+            assert abs(w.sum() - 1.0) < 1e-9
+
+    scene_rgb = np.zeros((120, 140, 3), np.uint8)
+    scene_rgb[50:110, 60:120] = obj
+    scene_depth = np.zeros((120, 140), np.uint16)
+    scene_depth[50:110, 60:120] = obj_depth
+
+    rois = dense_rois(scene_depth, stride=10, width=40, height=40)
+    roi_set = scene_roi_set(scene_rgb, scene_depth, rois, cfg)
+    leaves = predict_scene(model, roi_set, cfg)
+    bins, scores, _ = hough_vote(
+        leaves, model.leaf_feats_map(), rois, model.rpy, model.t,
+        im_size=(140, 120), train_radius=500.0, steps=10,
+        leaf_modes=modes,
+    )
+    assert len(bins) > 0 and scores[0] > 0
+    top_xy = bins[:3, :2] * 10
+    d = np.linalg.norm(top_xy - np.array([90, 80]), axis=1)
+    assert d.min() < 25.0, (bins[:3], scores[:3])
+
+
+def test_evaluate_recall_synthetic():
+    """End-to-end recall harness on rendered views: in-sample evaluation
+    must score well above zero, and the leaf-mode variant must run and
+    report the same schema (lchf/eval.py)."""
+    from sixdpose_tpu.benchmark import make_models
+    from sixdpose_tpu.geometry.render import render
+    from sixdpose_tpu.geometry.view_sampler import sample_views
+    from sixdpose_tpu.lchf.eval import evaluate_recall
+    from sixdpose_tpu.lchf.model import train_forest as tf
+
+    K = np.array([[200.0, 0, 80.0], [0, 200.0, 60.0], [0, 0, 1]])
+    model_mesh = make_models()["box"]
+    views, _ = sample_views(8, radius=420.0)
+    cfg = LchfConfig(num_features=6, extract_threshold=1, strong_threshold=30.0)
+    feats, rpys, ts = [], [], []
+    for v in views:
+        rgb, depth = render(model_mesh, (160, 120), K, v["R"], v["t"], mode="rgb+depth")
+        rgb, depth = np.asarray(rgb), np.asarray(depth).astype(np.uint16)
+        mask = (depth > 0).astype(np.uint8) * 255
+        p, r, t = make_training_patches(rgb, depth, mask, v["R"], cfg, patch=40, stride=12)
+        feats.extend(p); rpys.extend(r); ts.extend(t)
+    assert len(feats) >= 8
+    model_l = tf(feats, np.array(rpys), np.array(ts), cfg,
+                 num_trees=2, size_thresh=2, seed=1)
+
+    res = evaluate_recall(
+        model_l, model_mesh, K, (160, 120), views[:3], train_radius=420.0,
+        cfg=cfg, stride=8, top_k=5, tol_px=30.0, device=False,
+    )
+    assert res["n_views"] == 3
+    assert res["recall"] >= 1 / 3, res  # in-sample: most views must hit
+    res_m = evaluate_recall(
+        model_l, model_mesh, K, (160, 120), views[:2], train_radius=420.0,
+        cfg=cfg, stride=8, top_k=5, tol_px=30.0, leaf_modes=True, device=False,
+    )
+    assert res_m["leaf_modes"] and res_m["n_views"] == 2

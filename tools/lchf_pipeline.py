@@ -100,11 +100,48 @@ def test(args) -> int:
     return 0
 
 
+def evaluate(args) -> int:
+    """Quantitative recall over held-out rendered views, with and without
+    mean-shift leaf-mode voting (lchf/eval.py)."""
+    from sixdpose_tpu.lchf.eval import evaluate_recall
+    from sixdpose_tpu.lchf.feature import LchfConfig
+    from sixdpose_tpu.lchf.model import LchfModel
+    from sixdpose_tpu.geometry.view_sampler import sample_views
+
+    cfg = LchfConfig()
+    model_l = LchfModel.load(args.out)
+    K, model, _ = build_demo_assets(2, args.seed)
+    test_views, _ = sample_views(args.eval_views, radius=500.0)
+
+    results = {}
+    for use_modes in (False, True):
+        t0 = time.time()
+        r = evaluate_recall(
+            model_l, model, K, (320, 240), test_views,
+            train_radius=500.0, cfg=cfg, stride=args.stride,
+            top_k=args.top_k, leaf_modes=use_modes,
+        )
+        name = "leaf_modes" if use_modes else "raw_samples"
+        results[name] = {
+            "recall": round(r["recall"], 3),
+            "top1_recall": round(r["top1_recall"], 3),
+            "mean_center_err_px": (
+                round(r["mean_center_err_px"], 1)
+                if r["mean_center_err_px"] is not None else None
+            ),
+            "n_views": r["n_views"],
+            "time_s": round(time.time() - t0, 1),
+        }
+        print(json.dumps({name: results[name]}))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["render_train", "test", "demo"])
+    ap.add_argument("mode", choices=["render_train", "test", "demo", "eval"])
     ap.add_argument("--out", default="/tmp/lchf_model")
     ap.add_argument("--views", type=int, default=20)
+    ap.add_argument("--eval-views", type=int, default=12)
     ap.add_argument("--stride", type=int, default=10)
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
@@ -115,6 +152,8 @@ def main() -> int:
             return rc
     if args.mode in ("test", "demo"):
         return test(args)
+    if args.mode == "eval":
+        return evaluate(args)
     return 0
 
 
