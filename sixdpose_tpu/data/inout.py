@@ -158,6 +158,15 @@ def load_results_sixd17(path: str) -> dict:
     return out
 
 
+def load_colors(path: str) -> np.ndarray:
+    """Per-object color table: one space-separated 'R G B' line per object,
+    values in [0, 1] (t_less_toolkit/pytless/inout.py load_colors; the
+    toolkit ships data/obj_rgb.txt with one row per T-LESS object)."""
+    with open(path, "r") as f:
+        lines = [l for l in f.read().splitlines() if l.strip()]
+    return np.array([[float(v) for v in l.split()] for l in lines], np.float64)
+
+
 def load_errors(path: str) -> List[dict]:
     with open(path, "r") as f:
         return yaml.load(f, Loader=_Loader) or []

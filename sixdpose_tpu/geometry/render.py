@@ -462,6 +462,7 @@ def render(
     tile_px: int = 16,
     ssaa: int = 1,
     texture: Optional[np.ndarray] = None,
+    surf_color: Optional[Tuple[float, float, float]] = None,
 ):
     """Reference-compatible entry (pysixd/renderer.py render:306).
 
@@ -475,7 +476,20 @@ def render(
     the model has 'texture_uv' (load_ply parses it), RGB is texture-mapped
     with perspective-correct UV interpolation instead of vertex-colored
     (reference renderer.py:316-321 — T-LESS canon/reconst, rutgers).
+
+    ``surf_color``: (r, g, b) in [0, 1] — flat surface color overriding
+    the model's vertex colors (reference renderer.py:324-333, used by
+    t_less_toolkit/check_poses_*.py to color objects per id).
     """
+    if surf_color is not None:
+        model = dict(model)
+        # the subdiv cache stores attrs built from the ORIGINAL colors
+        model.pop("_subdiv_cache", None)
+        model["colors"] = np.tile(
+            np.asarray(surf_color, np.float64) * 255.0,
+            (len(np.asarray(model["pts"])), 1),
+        )
+        texture = None
     if ssaa > 1 and mode in ("rgb", "rgb+depth"):
         w, h = im_size
         Ks = np.asarray(K, np.float64) * 1.0

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""T-LESS v2 dataset fetcher (t_less_toolkit/t-less_download.py rebuilt).
+
+Builds the official archive URL list (train/test per sensor + scene/object
+id, CAD/reconstructed models) and either writes it as a manifest
+(--manifest, works offline — feed it to any downloader) or downloads and
+unpacks directly (--fetch; requires network egress, which sandboxed
+environments may not have — the tool fails cleanly per archive).
+
+URL scheme (t-less_download.py:545-671):
+  http://ptak.felk.cvut.cz/darwin/t-less/v2/t-less_v2_{train|test}_{sensor}_{id:02d}.zip
+  http://ptak.felk.cvut.cz/darwin/t-less/v2/t-less_v2_models_{cad|reconst}.zip
+
+Examples:
+  python tools/tless_download.py --manifest urls.txt --sensors primesense
+  python tools/tless_download.py --fetch --dest /data --objects 1 2 --scenes 1
+"""
+
+import argparse
+import os
+import sys
+import zipfile
+
+VERSION = 2
+URL_ROOT = f"http://ptak.felk.cvut.cz/darwin/t-less/v{VERSION}"
+ROOT = f"t-less_v{VERSION}"
+SENSORS = ["primesense", "kinect", "canon"]
+MODEL_TYPES = ["cad", "reconst"]
+N_OBJECTS = 30
+N_SCENES = 20
+
+
+def build_urls(sensors, obj_ids, scene_ids, model_types):
+    """[(url, dest_subdir)] for the requested dataset parts."""
+    urls = []
+    for sensor in sensors:
+        for oid in obj_ids:
+            urls.append((
+                f"{URL_ROOT}/{ROOT}_train_{sensor}_{oid:02d}.zip",
+                os.path.join(ROOT, f"train_{sensor}"),
+            ))
+        for sid in scene_ids:
+            urls.append((
+                f"{URL_ROOT}/{ROOT}_test_{sensor}_{sid:02d}.zip",
+                os.path.join(ROOT, f"test_{sensor}"),
+            ))
+    for mt in model_types:
+        urls.append((f"{URL_ROOT}/{ROOT}_models_{mt}.zip", ROOT))
+    return urls
+
+
+def fetch(urls, dest):
+    import urllib.request
+
+    failures = 0
+    for url, sub in urls:
+        out_dir = os.path.join(dest, sub)
+        os.makedirs(out_dir, exist_ok=True)
+        zip_path = os.path.join(dest, os.path.basename(url))
+        try:
+            print(f"downloading {url}")
+            urllib.request.urlretrieve(url, zip_path)
+            print(f"unpacking -> {out_dir}")
+            with zipfile.ZipFile(zip_path) as zf:
+                zf.extractall(out_dir)
+            os.remove(zip_path)
+        except Exception as e:  # no egress / partial archive: keep going
+            failures += 1
+            print(f"FAILED {url}: {e}", file=sys.stderr)
+            if os.path.exists(zip_path):
+                os.remove(zip_path)
+    return failures
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sensors", nargs="+", default=SENSORS, choices=SENSORS)
+    ap.add_argument("--objects", type=int, nargs="*",
+                    default=list(range(1, N_OBJECTS + 1)))
+    ap.add_argument("--scenes", type=int, nargs="*",
+                    default=list(range(1, N_SCENES + 1)))
+    ap.add_argument("--model-types", nargs="+", default=MODEL_TYPES,
+                    choices=MODEL_TYPES)
+    ap.add_argument("--manifest", default=None,
+                    help="write 'url -> subdir' lines here instead of fetching")
+    ap.add_argument("--fetch", action="store_true")
+    ap.add_argument("--dest", default=".")
+    args = ap.parse_args()
+
+    urls = build_urls(args.sensors, args.objects, args.scenes,
+                      args.model_types)
+    if args.manifest:
+        with open(args.manifest, "w") as f:
+            for url, sub in urls:
+                f.write(f"{url} {sub}\n")
+        print(f"wrote {len(urls)} urls to {args.manifest}")
+        return 0
+    if args.fetch:
+        return 1 if fetch(urls, args.dest) else 0
+    for url, sub in urls:
+        print(f"{url} -> {sub}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
