@@ -22,6 +22,35 @@ from sixdpose_tpu.config import DetectorConfig, IcpConfig
 from sixdpose_tpu.geometry.render import render
 from sixdpose_tpu.models.detector import Detector, Match
 from sixdpose_tpu.models.refine import refine_poses, sample_model_points
+from sixdpose_tpu.utils.timing import StageTimer
+
+
+class ServiceMetrics:
+    """Structured per-stage serving metrics (SURVEY.md §5 observability:
+    the reference's analog is ad-hoc chrono prints in test.cpp:125-130 and
+    rostopic latencies; here a JSON-able snapshot any scraper can poll).
+
+    Stage wall times are host-observed (dispatch + device + readback for
+    whatever the stage awaits) — operational latencies, not pure device
+    compute; use bench.py's chained methodology for kernel numbers."""
+
+    def __init__(self):
+        self.timer = StageTimer()
+        self.counters: Dict[str, int] = {}
+
+    def count(self, name: str, n: int = 1) -> None:
+        self.counters[name] = self.counters.get(name, 0) + int(n)
+
+    def snapshot(self) -> dict:
+        stages = {
+            name: {
+                "mean_ms": round(self.timer.mean_ms(name), 3),
+                "total_s": round(self.timer.totals[name], 4),
+                "count": self.timer.counts[name],
+            }
+            for name in self.timer.totals
+        }
+        return {"stages": stages, "counters": dict(self.counters)}
 
 
 @dataclasses.dataclass
@@ -98,6 +127,7 @@ class PoseEstimationService:
         self.verify_color_weight = verify_color_weight
         self.rank_key = rank_key
         self._render_cache: Dict[tuple, np.ndarray] = {}
+        self.metrics = ServiceMetrics()
         # Fused single-dispatch detect->refine->verify per class
         # (models/pipeline.py), built lazily; None marks a class whose
         # bank lacks train-time clouds (e.g. imported reference banks),
@@ -167,12 +197,13 @@ class PoseEstimationService:
         pipes = [self._fused_pipeline(c) for c in cids]
         if not pipes or any(p is None for p in pipes):
             return None
-        outs = [p(rgb, depth, self.threshold) for p in pipes]
+        with self.metrics.timer("fused_dispatch"):
+            outs = [p(rgb, depth, self.threshold) for p in pipes]
         ests: List[PoseEstimate] = []
+        with self.metrics.timer("fused_readback"):
+            outs = [tuple(map(np.asarray, out)) for out in outs]
         for cid, out in zip(cids, outs):
-            tid, x, y, score, R, t, fit, ver, active = map(
-                np.asarray, out
-            )  # single readback per class
+            tid, x, y, score, R, t, fit, ver, active = out
             for i in range(len(tid)):
                 if not active[i] or fit[i] < self.min_fitness:
                     continue
@@ -191,7 +222,11 @@ class PoseEstimationService:
                         verify=float(ver[i]),
                     )
                 )
-        return nms_norms(ests, self.dedupe_radius_mm, key=self.rank_key)
+        self.metrics.count("frames")
+        self.metrics.count("estimates", len(ests))
+        kept = nms_norms(ests, self.dedupe_radius_mm, key=self.rank_key)
+        self.metrics.count("published", len(kept))
+        return kept
 
     def process_frame(self, rgb: np.ndarray, depth: np.ndarray) -> List[PoseEstimate]:
         """Detect -> batched refine -> dedupe for one frame.
@@ -205,13 +240,16 @@ class PoseEstimationService:
             fused = self.process_frame_fused(rgb, depth)
             if fused is not None:
                 return fused
-        if ms is not None:
-            matches = []
-            for cid in self.det.class_ids():
-                matches.extend(ms.match(rgb, depth, self.threshold, cid))
-            matches.sort(key=lambda m: -m.similarity)
-        else:
-            matches = self.det.match(rgb, depth, self.threshold)
+        with self.metrics.timer("match"):
+            if ms is not None:
+                matches = []
+                for cid in self.det.class_ids():
+                    matches.extend(ms.match(rgb, depth, self.threshold, cid))
+                matches.sort(key=lambda m: -m.similarity)
+            else:
+                matches = self.det.match(rgb, depth, self.threshold)
+        self.metrics.count("frames")
+        self.metrics.count("matches", len(matches))
         matches = matches[: self.max_refine]
         if not matches:
             return []
@@ -333,23 +371,24 @@ class PoseEstimationService:
         else:
             chroma_k = None
             chroma_maps = None
-        Ts, fits, _rmse = icp_batch(
-            jnp.asarray(np.stack(clouds)),
-            jnp.asarray(np.stack(valids)),
-            sp,
-            sn,
-            jnp.asarray(self.K.astype(np.float32)),
-            jnp.asarray(np.stack(init_Ts)),
-            self.icp.corr_dist,
-            self.icp.max_iters,
-            self.icp.coarse_gate_mult,
-            model_chroma=chroma_k,
-            chroma_maps=chroma_maps,
-            color_weight=self.icp.color_weight,
-            chroma_scale=self.icp.chroma_scale,
-        )
-        Ts = np.asarray(Ts, np.float64)
-        fits = np.asarray(fits)
+        with self.metrics.timer("icp"):
+            Ts, fits, _rmse = icp_batch(
+                jnp.asarray(np.stack(clouds)),
+                jnp.asarray(np.stack(valids)),
+                sp,
+                sn,
+                jnp.asarray(self.K.astype(np.float32)),
+                jnp.asarray(np.stack(init_Ts)),
+                self.icp.corr_dist,
+                self.icp.max_iters,
+                self.icp.coarse_gate_mult,
+                model_chroma=chroma_k,
+                chroma_maps=chroma_maps,
+                color_weight=self.icp.color_weight,
+                chroma_scale=self.icp.chroma_scale,
+            )
+            Ts = np.asarray(Ts, np.float64)
+            fits = np.asarray(fits)
 
         out = []
         for i, m in enumerate(meta):
@@ -384,30 +423,36 @@ class PoseEstimationService:
             by_class: Dict[str, List[int]] = {}
             for i, e in enumerate(out):
                 by_class.setdefault(e.class_id, []).append(i)
-            for cid, idxs in by_class.items():
-                pts, colors = self._verify_points(cid)
-                Rs = jnp.asarray(
-                    np.stack([out[i].R for i in idxs]).astype(np.float32)
-                )
-                tsv = jnp.asarray(
-                    np.stack([out[i].t.flatten() for i in idxs]).astype(np.float32)
-                )
-                scores = np.asarray(
-                    verify_poses(
-                        pts, Rs, tsv, jnp.asarray(depth),
-                        jnp.asarray(self.K.astype(np.float32)),
-                        tau_mm=self.verify_tau,
-                        model_colors=colors,
-                        rgb=jnp.asarray(rgb) if (
-                            colors is not None and rgb is not None
-                        ) else None,
-                        color_weight=self.verify_color_weight,
+            with self.metrics.timer("verify"):
+                for cid, idxs in by_class.items():
+                    pts, colors = self._verify_points(cid)
+                    Rs = jnp.asarray(
+                        np.stack([out[i].R for i in idxs]).astype(np.float32)
                     )
-                )
-                for j, i in enumerate(idxs):
-                    out[i].verify = float(scores[j])
+                    tsv = jnp.asarray(
+                        np.stack(
+                            [out[i].t.flatten() for i in idxs]
+                        ).astype(np.float32)
+                    )
+                    scores = np.asarray(
+                        verify_poses(
+                            pts, Rs, tsv, jnp.asarray(depth),
+                            jnp.asarray(self.K.astype(np.float32)),
+                            tau_mm=self.verify_tau,
+                            model_colors=colors,
+                            rgb=jnp.asarray(rgb) if (
+                                colors is not None and rgb is not None
+                            ) else None,
+                            color_weight=self.verify_color_weight,
+                        )
+                    )
+                    for j, i in enumerate(idxs):
+                        out[i].verify = float(scores[j])
             out = [e for e in out if e.verify >= self.min_verify]
-        return nms_norms(out, self.dedupe_radius_mm, key=self.rank_key)
+        self.metrics.count("estimates", len(out))
+        kept = nms_norms(out, self.dedupe_radius_mm, key=self.rank_key)
+        self.metrics.count("published", len(kept))
+        return kept
 
     def _verify_points(self, class_id: str):
         """Dense surface-point sample of a model (+per-point colors when

@@ -109,6 +109,18 @@ def test_service_end_to_end():
     err = pose_error.adi(best.R, best.t, R_gt, t_gt, model)
     assert err < 12.0, (err, best)
 
+    # Structured serving metrics: one frame processed, per-stage timings
+    # populated for whichever path ran (fused or host-orchestrated), and
+    # the published count matching what process_frame returned.
+    snap = svc.metrics.snapshot()
+    assert snap["counters"]["frames"] == 1
+    assert snap["counters"]["published"] == len(ests)
+    assert snap["counters"]["estimates"] >= len(ests)
+    stage_names = set(snap["stages"])
+    assert ("fused_dispatch" in stage_names) or ("match" in stage_names)
+    for s in snap["stages"].values():
+        assert s["count"] >= 1 and s["mean_ms"] >= 0.0
+
 
 def test_verify_poses_color_disambiguates():
     """Two poses with IDENTICAL depth but different texture alignment:
