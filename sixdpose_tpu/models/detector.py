@@ -86,14 +86,39 @@ def _match_class(
     levels = len(t_at_level)
     coarse = levels - 1
     t_c = t_at_level[coarse]
+    scores = coarse_scores(
+        response_pyramid, kernels, nfeats, t_at_level, feats, valids
+    )
+    tid, yi, xi, score = topk_candidates(scores, threshold, top_k)
+    x = xi * t_c + _offset(t_c)
+    y = yi * t_c + _offset(t_c)
+    return pyramid_refine(
+        response_pyramid, kernels, nfeats, whs, t_at_level, threshold,
+        tid, x, y, score, feats, valids,
+    )
 
-    # --- dense scoring at the coarsest level (cpp:1820-1852) ---
-    # Bank-size-adaptive scorer.  The one-hot conv wastes >99.9% of its
-    # MACs (~0.04% kernel density), but below ~2e10 MACs the MXU eats the
-    # waste for free while the sparse path pays a fixed im2col
-    # (~2 ms at VGA): measured 1.7 ms conv vs 4.2 ms sparse for the case1
-    # 89-template bank, and ~8.5 ms conv vs ~4 ms sparse for the 1685
-    # kernels of the multiscale sweep.  Cross over on the MAC estimate.
+
+def coarse_scores(
+    response_pyramid,
+    kernels,
+    nfeats,
+    t_at_level: Tuple[int, ...],
+    feats=None,
+    valids=None,
+):
+    """Dense scoring at the coarsest level (cpp:1820-1852), shared by
+    _match_class and the stage-breakdown profiler.
+
+    Bank-size-adaptive scorer.  The one-hot conv wastes >99.9% of its
+    MACs (~0.04% kernel density), but below ~2e10 MACs the MXU eats the
+    waste for free while the sparse path pays a fixed im2col
+    (~2 ms at VGA): measured 1.7 ms conv vs 4.2 ms sparse for the case1
+    89-template bank, and ~8.5 ms conv vs ~4 ms sparse for the 1685
+    kernels of the multiscale sweep.  Cross over on the MAC estimate.
+
+    Returns (N, hb, wb) float32 normalized scores; -1 marks empty rows."""
+    coarse = len(t_at_level) - 1
+    t_c = t_at_level[coarse]
     n_k, c_k, kh_c, kw_c = kernels[coarse].shape
     hb = -(-response_pyramid[coarse].shape[1] // t_c)
     wb = -(-response_pyramid[coarse].shape[2] // t_c)
@@ -113,13 +138,7 @@ def _match_class(
     else:
         raw = similarity_dense(response_pyramid[coarse], kernels[coarse], t_c)
         scores = score_normalize(raw, nfeats[coarse])
-    tid, yi, xi, score = topk_candidates(scores, threshold, top_k)
-    x = xi * t_c + _offset(t_c)
-    y = yi * t_c + _offset(t_c)
-    return pyramid_refine(
-        response_pyramid, kernels, nfeats, whs, t_at_level, threshold,
-        tid, x, y, score, feats, valids,
-    )
+    return scores
 
 
 def pyramid_refine(
