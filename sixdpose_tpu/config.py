@@ -87,6 +87,10 @@ class IcpConfig:
     color_weight: float = 0.1        # colored-ICP term weight (0 disables);
     #                                  engages when model clouds carry colors
     chroma_scale: float = 0.05       # meters per unit chroma residual
+    point_weight: float = 0.2        # point-to-point blend (pins the
+    #                                  in-plane null space of projective
+    #                                  point-to-plane; flat over [0.05,0.5])
+    lm_damping: float = 1e-3         # Levenberg-Marquardt diagonal damping
 
 
 @dataclasses.dataclass(frozen=True)

@@ -222,6 +222,8 @@ def detect_refine_core(
         chroma_maps=chroma_maps,
         color_weight=icp.color_weight,
         chroma_scale=icp.chroma_scale,
+        point_weight=icp.point_weight,
+        lm_damping=icp.lm_damping,
     )
 
     # --- compose with the template pose ----------------------------------

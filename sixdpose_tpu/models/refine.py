@@ -222,6 +222,8 @@ def icp_point_to_plane(
     chroma_maps: Optional[tuple] = None,          # (c, du, dv) from scene_chroma
     color_weight: float = 0.3,
     chroma_scale: float = 0.05,
+    point_weight: float = 0.2,
+    lm_damping: float = 1e-3,
 ):
     """Projective point-to-plane ICP for one candidate.
 
@@ -329,7 +331,12 @@ def icp_point_to_plane(
         # in-plane translation with a restoring force toward the associated
         # points.  Open3D's NN correspondences create the same restoring
         # force implicitly; projective association needs it explicitly.
-        w_pt = 0.2
+        # Sensitivity (tests/test_geometry.py::test_icp_hyperparameter
+        # _sensitivity): convergence is flat over point_weight in
+        # [0.05, 0.5] and lm_damping in [1e-4, 1e-2] on the standard
+        # perturbed-box scenario — the defaults sit on a plateau, not a
+        # cliff.
+        w_pt = point_weight
         px_ = jnp.zeros((pc.shape[0], 3, 3))
         px_ = px_.at[:, 0, 1].set(-pc[:, 2]).at[:, 0, 2].set(pc[:, 1])
         px_ = px_.at[:, 1, 0].set(pc[:, 2]).at[:, 1, 2].set(-pc[:, 0])
@@ -379,7 +386,7 @@ def icp_point_to_plane(
             g = g + w_col * jnp.einsum("ncj,nc,n->j", Jc, -rc, cw)
         # Levenberg-Marquardt damping keeps steps bounded along any
         # remaining symmetry null space (e.g. a sphere's rotations).
-        H = H + 1e-3 * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
+        H = H + lm_damping * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
         xi = jnp.linalg.solve(H, g)
         dR = _so3_exp(xi[:3])
         # x -> dR (x - c) + c + nu
@@ -418,6 +425,8 @@ def icp_batch(
     chroma_maps=None,            # shared scene (c, du, dv)
     color_weight: float = 0.3,
     chroma_scale: float = 0.05,
+    point_weight: float = 0.2,
+    lm_damping: float = 1e-3,
 ):
     """All K candidates refined in parallel (reference refines top-K matches
     serially, linemod_and_levelup_test.py:354-376)."""
@@ -425,11 +434,13 @@ def icp_batch(
         fn = lambda mp, mv, t0: icp_point_to_plane(
             mp, mv, scene_pts, scene_nrm, scene_K, t0, corr_dist, max_iters,
             coarse_gate_mult,
+            point_weight=point_weight, lm_damping=lm_damping,
         )
         return jax.vmap(fn)(model_pts, model_valid, init_T)
     fn = lambda mp, mv, t0, mc: icp_point_to_plane(
         mp, mv, scene_pts, scene_nrm, scene_K, t0, corr_dist, max_iters,
         coarse_gate_mult, mc, chroma_maps, color_weight, chroma_scale,
+        point_weight=point_weight, lm_damping=lm_damping,
     )
     return jax.vmap(fn, in_axes=(0, 0, 0, 0))(
         model_pts, model_valid, init_T, model_chroma

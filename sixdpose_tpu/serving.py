@@ -386,6 +386,8 @@ class PoseEstimationService:
                 chroma_maps=chroma_maps,
                 color_weight=self.icp.color_weight,
                 chroma_scale=self.icp.chroma_scale,
+                point_weight=self.icp.point_weight,
+                lm_damping=self.icp.lm_damping,
             )
             Ts = np.asarray(Ts, np.float64)
             fits = np.asarray(fits)
