@@ -53,6 +53,44 @@ def test_pallas_refine_matches_xla(rng):
     jax.default_backend() not in ("tpu", "axon"),
     reason="Pallas TPU kernel needs TPU hardware (validated there)",
 )
+def test_pallas_refine_v2_matches_xla(rng):
+    """The v2 row-shifted-int32 layout is bit-exact vs the XLA lowering
+    (same contract as v1, including the multiscale scale path)."""
+    from sixdpose_tpu.ops.pallas.local_refine import (
+        similarity_local_sparse_pallas_v2,
+    )
+
+    t = 5
+    rm = rng.integers(0, 5, (16, 480, 640)).astype(np.uint8)
+    K, F = 16, 64
+    feats = np.stack(
+        [
+            rng.integers(0, 120, (K, F)),
+            rng.integers(0, 150, (K, F)),
+            rng.integers(0, 16, (K, F)),
+        ],
+        -1,
+    ).astype(np.int32)
+    valid = rng.random((K, F)) < 0.9
+    org = (rng.integers(0, 40, (K, 2)) * t).astype(np.int32)
+    sc = rng.uniform(0.4, 1.3, K).astype(np.float32)
+
+    a_s, a_c = similarity_local_sparse(
+        jnp.asarray(rm), jnp.asarray(feats), jnp.asarray(valid),
+        jnp.asarray(org), t, scale=jnp.asarray(sc),
+    )
+    b_s, b_c = similarity_local_sparse_pallas_v2(
+        jnp.asarray(rm), jnp.asarray(feats), jnp.asarray(valid),
+        jnp.asarray(org), t, scale=jnp.asarray(sc),
+    )
+    assert (np.asarray(a_c) == np.asarray(b_c)).all()
+    assert np.allclose(np.asarray(a_s), np.asarray(b_s))
+
+
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="Pallas TPU kernel needs TPU hardware (validated there)",
+)
 def test_pallas_refine_active_mask(rng):
     """Inactive candidates return zeros; active ones are unchanged."""
     from sixdpose_tpu.ops.pallas.local_refine import similarity_local_sparse_pallas
