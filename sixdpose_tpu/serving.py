@@ -107,6 +107,7 @@ class PoseEstimationService:
         verify_tau: float = 15.0,
         verify_color_weight: float = 0.5,
         rank_key: str = "verify",
+        prefer_fused: bool = True,
     ):
         """Args:
         detector: trained detector whose template infos carry the render
@@ -126,6 +127,9 @@ class PoseEstimationService:
         self.verify_tau = verify_tau
         self.verify_color_weight = verify_color_weight
         self.rank_key = rank_key
+        # prefer_fused=False forces the host-orchestrated path (A/B
+        # accuracy comparisons; the fused path is the default).
+        self.prefer_fused = prefer_fused
         self._render_cache: Dict[tuple, np.ndarray] = {}
         self.metrics = ServiceMetrics()
         # Fused single-dispatch detect->refine->verify per class
@@ -236,7 +240,7 @@ class PoseEstimationService:
         match -> cloud build -> batched ICP -> verify from the host."""
         h, w = depth.shape
         ms = getattr(self, "_multiscale", None)
-        if ms is None:
+        if ms is None and self.prefer_fused:
             fused = self.process_frame_fused(rgb, depth)
             if fused is not None:
                 return fused

@@ -19,6 +19,13 @@ def main() -> int:
     ap.add_argument("--views", type=int, default=80)
     ap.add_argument("--threshold", type=float, default=55.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--objects-per-scene", type=int, default=4,
+                    help="classes sampled per scene (0 = all 9 at once)")
+    ap.add_argument("--objects", nargs="*", default=None,
+                    help="restrict the model pool (default: all 9)")
+    ap.add_argument("--host-path", action="store_true",
+                    help="force the host-orchestrated serving path (A/B)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from sixdpose_tpu.benchmark import run_benchmark
@@ -28,8 +35,14 @@ def main() -> int:
         min_n_views=args.views,
         threshold=args.threshold,
         seed=args.seed,
+        max_objects_per_scene=args.objects_per_scene or None,
+        prefer_fused=not args.host_path,
+        object_ids=args.objects,
     )
     print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
     return 0
 
 
