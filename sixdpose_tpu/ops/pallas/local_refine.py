@@ -248,6 +248,317 @@ def similarity_local_sparse_pallas_v2(
     return scores, jnp.sum(ok, axis=1).astype(jnp.int32)
 
 
+def _refine_kernel_v3(
+    window, wbp, wb, unroll, nf_ref, cidx_ref, blk_ref, bx_ref, maps_hbm,
+    out_ref, scratch, acc, sem,
+):
+    """v3 body: v2's aligned (window, wbp) int32 fetches, with the
+    feature loop UNROLLED by ``unroll``.  v1 vs v2 measured identical
+    ~0.11 us/feature despite v2 halving the vector work — the loop is
+    bound by per-iteration fixed cost (DMA issue + semaphore wait +
+    scalar loop bookkeeping), so amortizing it over ``unroll`` features
+    per iteration is the lever.  One chunk of DMAs is prefetched while
+    the previous chunk is processed (scratch holds 2 chunks)."""
+    k = pl.program_id(0)
+    num_feats = nf_ref[k]
+    nbuf = 2 * unroll
+    # Ceil to whole chunks: over-read features were padded to the zero
+    # channel on the host side, so they add zeros.
+    nchunks = (num_feats + unroll - 1) // unroll
+
+    def get_dma(f):
+        return pltpu.make_async_copy(
+            maps_hbm.at[
+                cidx_ref[k, f], pl.ds(blk_ref[k, f] * _SHIFTS, window), :
+            ],
+            scratch.at[f % nbuf],
+            sem.at[f % nbuf],
+        )
+
+    acc[:] = jnp.zeros_like(acc)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (window, wbp), 1)
+
+    @pl.when(nchunks > 0)
+    def _():
+        for u in range(unroll):  # chunk 0 in flight
+            get_dma(u).start()
+
+        def loop(c, _):
+            for u in range(unroll):  # prefetch chunk c+1
+                @pl.when(c + 1 < nchunks)
+                def _():
+                    get_dma((c + 1) * unroll + u).start()
+            total = None
+            for u in range(unroll):
+                f = c * unroll + u
+                get_dma(f).wait()
+                bx = bx_ref[k, f]
+                shifted = pltpu.roll(scratch[f % nbuf], wbp - bx, 1)
+                shifted = jnp.where(lane < wb - bx, shifted, 0)
+                total = shifted if total is None else total + shifted
+            acc[:] = acc[:] + total
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, loop, 0)
+
+    out_ref[0] = acc[:, :window].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("t", "window", "unroll"))
+def similarity_local_sparse_pallas_v3(
+    response_maps: jnp.ndarray,
+    feats_sel: jnp.ndarray,
+    valid_sel: jnp.ndarray,
+    origins: jnp.ndarray,
+    t: int,
+    window: int = 16,
+    scale: jnp.ndarray = None,
+    active: jnp.ndarray = None,
+    unroll: int = 4,
+):
+    """v2's row-shifted-int32 layout + ``unroll``-way feature loop
+    unrolling (same contract as similarity_local_sparse)."""
+    from sixdpose_tpu.ops.similarity import _s2d_maps
+
+    assert window == 16, "row-shift layout assumes window == 16"
+    k, f = feats_sel.shape[:2]
+    c = response_maps.shape[0]
+    maps = _s2d_maps(response_maps, t)
+    hb, wb = maps.shape[1:]
+    wbp = -(-wb // _LANES) * _LANES
+    rows_r = -(-hb // _SHIFTS) * _SHIFTS + window
+    base = jnp.pad(
+        maps.astype(jnp.int32),
+        ((0, 1), (0, rows_r + _SHIFTS - hb), (0, wbp - wb)),
+    )
+    shifted_copies = jnp.concatenate(
+        [base[:, s : s + rows_r, :] for s in range(_SHIFTS)], axis=0
+    )
+    zero_ch = c * t * t
+
+    x = feats_sel[..., 0].astype(jnp.float32)
+    y = feats_sel[..., 1].astype(jnp.float32)
+    if scale is not None:
+        x = jnp.round(x * scale[:, None])
+        y = jnp.round(y * scale[:, None])
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    ch = feats_sel[..., 2]
+    ok = valid_sel & (xi >= 0) & (yi >= 0)
+    cprime = ch * (t * t) + (yi % t) * t + (xi % t)
+    by = origins[:, 0:1] // t + yi // t
+    bx = origins[:, 1:2] // t + xi // t
+    ok = ok & (by < hb) & (bx < wb)
+    cprime = jnp.where(ok, cprime, zero_ch).astype(jnp.int32)
+    by = jnp.clip(by, 0, hb - 1).astype(jnp.int32)
+    bx = jnp.clip(bx, 0, wb - 1).astype(jnp.int32)
+
+    nch = c * t * t + 1
+    cidx = (by % _SHIFTS) * nch + cprime
+    by_blk = by // _SHIFTS
+
+    rev_first = jnp.argmax(valid_sel[:, ::-1].astype(jnp.int32), axis=1)
+    has_any = jnp.any(valid_sel, axis=1)
+    nf_trip = jnp.where(has_any, f - rev_first, 0).astype(jnp.int32)
+    if active is not None:
+        nf_trip = jnp.where(active, nf_trip, 0)
+
+    # Pad the per-feature scalar tables to whole chunks so chunk-granular
+    # reads stay in bounds; padded entries hit the zero channel.
+    f_pad = -(-f // unroll) * unroll + unroll  # + one prefetch chunk
+    pad = ((0, 0), (0, f_pad - f))
+    cidx = jnp.pad(cidx, pad, constant_values=zero_ch)
+    by_blk = jnp.pad(by_blk, pad)
+    bx_p = jnp.pad(bx, pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(k,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, window, window), lambda kk, *_: (kk, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * unroll, window, wbp), jnp.int32),
+            pltpu.VMEM((window, wbp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * unroll,)),
+        ],
+    )
+    scores = pl.pallas_call(
+        functools.partial(_refine_kernel_v3, window, wbp, wb, unroll),
+        out_shape=jax.ShapeDtypeStruct((k, window, window), jnp.float32),
+        grid_spec=grid_spec,
+    )(nf_trip, cidx, by_blk, bx_p, shifted_copies)
+    return scores, jnp.sum(ok, axis=1).astype(jnp.int32)
+
+
+_GRP = 8  # v4: features contracted per MXU pass group
+_SHIFTS_BF = 16  # bf16 tile sublanes -> 16 row-shifted copies
+
+
+def _refine_kernel_v4(
+    window, nf_ref, cidx_ref, blk_ref, bx_ref, maps_hbm,
+    out_ref, vals, sel, acc, sem,
+):
+    """v4 body: one MXU contraction per _GRP features.
+
+    Probe results (round 2): every per-feature variant — dynamic roll
+    (v1/v2), unrolled rolls (v3), per-feature 16x128 matmul — lands at
+    ~0.10-0.12 us/feature, bounded by per-feature instruction issue +
+    dependency latency, with a ~0.06 us/feature DMA floor.  The only
+    lever left is AMORTIZING issue cost across features: 8 features'
+    (window, 128) bf16 fetches land in one (window, 1024) scratch, the
+    8 one-hot selection blocks are one iota-compare each (built from the
+    prefetched bx scalars), and a single dot_general contracting the
+    1024-lane dim yields the SUMMED (window, window) contribution of all
+    8 features at once (off-window lanes select zero-padded data).
+    Products are exact in bf16 (responses <= 8, one-hot selectors);
+    accumulation is f32 on the MXU."""
+    k = pl.program_id(0)
+    num_feats = nf_ref[k]
+    nchunks = (num_feats + _GRP - 1) // _GRP
+
+    def get_dma(buf, f):
+        g = f % _GRP
+        return pltpu.make_async_copy(
+            maps_hbm.at[
+                cidx_ref[k, f], pl.ds(blk_ref[k, f] * _SHIFTS_BF, window), :
+            ],
+            vals.at[buf, :, pl.ds(g * 128, 128)],
+            sem.at[buf, g],
+        )
+
+    acc[:] = jnp.zeros_like(acc)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (window, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (window, 128), 1)
+
+    @pl.when(nchunks > 0)
+    def _():
+        for g in range(_GRP):  # chunk 0 in flight
+            get_dma(0, g).start()
+
+        def loop(c, _):
+            buf = c % 2
+            nxt = (c + 1) % 2
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                for g in range(_GRP):
+                    get_dma(nxt, (c + 1) * _GRP + g).start()
+
+            for g in range(_GRP):
+                bx = bx_ref[k, c * _GRP + g]
+                sel[:, pl.ds(g * 128, 128)] = (
+                    lane == bx + rowi
+                ).astype(jnp.bfloat16)
+            for g in range(_GRP):
+                get_dma(buf, c * _GRP + g).wait()
+            acc[:] = acc[:] + jax.lax.dot_general(
+                vals[buf], sel[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, loop, 0)
+
+    out_ref[0] = acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("t", "window"))
+def similarity_local_sparse_pallas_v4(
+    response_maps: jnp.ndarray,
+    feats_sel: jnp.ndarray,
+    valid_sel: jnp.ndarray,
+    origins: jnp.ndarray,
+    t: int,
+    window: int = 16,
+    scale: jnp.ndarray = None,
+    active: jnp.ndarray = None,
+):
+    """MXU-batched drop-in for similarity_local_sparse (same contract).
+
+    Layout: _SHIFTS_BF row-shifted bf16 copies of the s2d maps (copy s
+    holds rows shifted UP by s; bf16 tiles are (16, 128) so DMA row
+    offsets must be 16-aligned -> 16 copies make any window start
+    aligned).  Features are processed in groups of _GRP per MXU
+    contraction."""
+    from sixdpose_tpu.ops.similarity import _s2d_maps
+
+    assert window == 16, "row-shift layout assumes window == 16"
+    k, f = feats_sel.shape[:2]
+    c = response_maps.shape[0]
+    maps = _s2d_maps(response_maps, t)
+    hb, wb = maps.shape[1:]
+    assert wb <= 128, "v4 assumes one 128-lane tile per map row"
+    rows_r = -(-hb // _SHIFTS_BF) * _SHIFTS_BF + window
+    base = jnp.pad(
+        maps.astype(jnp.bfloat16),
+        ((0, 1), (0, rows_r + _SHIFTS_BF - hb), (0, 128 - wb)),
+    )  # (c*t*t+1, R+16, 128); extra channel = zeros for masked feats
+    shifted_copies = jnp.concatenate(
+        [base[:, s : s + rows_r, :] for s in range(_SHIFTS_BF)], axis=0
+    )
+    zero_ch = c * t * t
+
+    x = feats_sel[..., 0].astype(jnp.float32)
+    y = feats_sel[..., 1].astype(jnp.float32)
+    if scale is not None:
+        x = jnp.round(x * scale[:, None])
+        y = jnp.round(y * scale[:, None])
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    ch = feats_sel[..., 2]
+    ok = valid_sel & (xi >= 0) & (yi >= 0)
+    cprime = ch * (t * t) + (yi % t) * t + (xi % t)
+    by = origins[:, 0:1] // t + yi // t
+    bx = origins[:, 1:2] // t + xi // t
+    ok = ok & (by < hb) & (bx < wb)
+    cprime = jnp.where(ok, cprime, zero_ch).astype(jnp.int32)
+    by = jnp.clip(by, 0, hb - 1).astype(jnp.int32)
+    bx = jnp.clip(bx, 0, wb - 1).astype(jnp.int32)
+
+    nch = c * t * t + 1
+    cidx = (by % _SHIFTS_BF) * nch + cprime
+    by_blk = by // _SHIFTS_BF
+
+    rev_first = jnp.argmax(valid_sel[:, ::-1].astype(jnp.int32), axis=1)
+    has_any = jnp.any(valid_sel, axis=1)
+    nf_trip = jnp.where(has_any, f - rev_first, 0).astype(jnp.int32)
+    if active is not None:
+        nf_trip = jnp.where(active, nf_trip, 0)
+
+    # Whole-chunk padding (+ one prefetch chunk); padded features hit the
+    # zero channel, so over-reads add zeros.
+    nchunks = -(-f // _GRP) + 1
+    f_pad = nchunks * _GRP
+    pad = ((0, 0), (0, f_pad - f))
+    cidx = jnp.pad(cidx, pad, constant_values=zero_ch)
+    by_blk = jnp.pad(by_blk, pad)
+    bx_p = jnp.pad(bx, pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(k,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, window, window), lambda kk, *_: (kk, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, _GRP * 128), jnp.bfloat16),
+            pltpu.VMEM((window, _GRP * 128), jnp.bfloat16),
+            pltpu.VMEM((window, window), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _GRP)),
+        ],
+    )
+    scores = pl.pallas_call(
+        functools.partial(_refine_kernel_v4, window),
+        out_shape=jax.ShapeDtypeStruct((k, window, window), jnp.float32),
+        grid_spec=grid_spec,
+    )(nf_trip, cidx, by_blk, bx_p, shifted_copies)
+    return scores, jnp.sum(ok, axis=1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("t", "window"))
 def similarity_local_sparse_pallas(
     response_maps: jnp.ndarray,

@@ -581,18 +581,37 @@ def similarity_local_sparse_auto(
     response_maps, feats_sel, valid_sel, origins, t, window: int = 16,
     scale=None, active=None,
 ):
-    """Backend dispatch for the sparse local refinement: the Pallas
-    double-buffered DMA kernel on TPU (bit-exact vs the XLA lowering —
-    tests/test_pallas.py — and skips dead candidates/padded features),
-    the XLA version elsewhere.  ``active`` marks candidates whose output
-    is consumed; inactive ones may return zeros."""
+    """Backend dispatch for the sparse local refinement: a Pallas DMA
+    kernel on TPU (bit-exact vs the XLA lowering — tests/test_pallas.py —
+    and skips dead candidates/padded features), the XLA version
+    elsewhere.  ``active`` marks candidates whose output is consumed;
+    inactive ones may return zeros.
+
+    Kernel selection on TPU: v4 (MXU-batched selection contraction,
+    2.3 ms vs v1's 3.6 ms at case1 scale) whenever its layout
+    assumptions hold (window 16, one 128-lane tile per s2d map row);
+    the v1 roll kernel otherwise.  ``SIXDPOSE_REFINE_KERNEL=v1|v2|v3|v4``
+    forces a variant (reproducibility / regression bisection)."""
     backend = jax.default_backend()
     if backend in ("tpu", "axon"):
-        from sixdpose_tpu.ops.pallas.local_refine import (
-            similarity_local_sparse_pallas,
-        )
+        import os
 
-        return similarity_local_sparse_pallas(
+        from sixdpose_tpu.ops.pallas import local_refine as LR
+
+        wb = -(-response_maps.shape[2] // t)
+        forced = os.environ.get("SIXDPOSE_REFINE_KERNEL")
+        if forced:
+            fn = {
+                "v1": LR.similarity_local_sparse_pallas,
+                "v2": LR.similarity_local_sparse_pallas_v2,
+                "v3": LR.similarity_local_sparse_pallas_v3,
+                "v4": LR.similarity_local_sparse_pallas_v4,
+            }[forced]
+        elif window == 16 and wb <= 128:
+            fn = LR.similarity_local_sparse_pallas_v4
+        else:
+            fn = LR.similarity_local_sparse_pallas
+        return fn(
             response_maps, feats_sel, valid_sel, origins, t, window, scale,
             active,
         )

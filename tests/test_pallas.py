@@ -53,12 +53,17 @@ def test_pallas_refine_matches_xla(rng):
     jax.default_backend() not in ("tpu", "axon"),
     reason="Pallas TPU kernel needs TPU hardware (validated there)",
 )
-def test_pallas_refine_v2_matches_xla(rng):
-    """The v2 row-shifted-int32 layout is bit-exact vs the XLA lowering
-    (same contract as v1, including the multiscale scale path)."""
-    from sixdpose_tpu.ops.pallas.local_refine import (
-        similarity_local_sparse_pallas_v2,
-    )
+@pytest.mark.parametrize("variant", ["v2", "v4"])
+def test_pallas_refine_variants_match_xla(rng, variant):
+    """The v2 (row-shifted int32) and v4 (MXU selection contraction)
+    layouts are bit-exact vs the XLA lowering (same contract as v1,
+    including the multiscale scale path).  v4 is the TPU default."""
+    from sixdpose_tpu.ops.pallas import local_refine as LR
+
+    similarity_local_sparse_pallas_v2 = {
+        "v2": LR.similarity_local_sparse_pallas_v2,
+        "v4": LR.similarity_local_sparse_pallas_v4,
+    }[variant]
 
     t = 5
     rm = rng.integers(0, 5, (16, 480, 640)).astype(np.uint8)

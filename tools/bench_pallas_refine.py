@@ -33,9 +33,15 @@ def main() -> int:
     from sixdpose_tpu.ops.similarity import similarity_local_sparse
     from sixdpose_tpu.ops.pallas import local_refine as LR
 
+    import functools
+
     fns = {
         "v1": LR.similarity_local_sparse_pallas,
         "v2": LR.similarity_local_sparse_pallas_v2,
+        "v3": LR.similarity_local_sparse_pallas_v3,
+        "v3u8": functools.partial(LR.similarity_local_sparse_pallas_v3,
+                                  unroll=8),
+        "v4": LR.similarity_local_sparse_pallas_v4,
     }
 
     t = 5
