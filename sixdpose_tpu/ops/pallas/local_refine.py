@@ -393,6 +393,7 @@ def similarity_local_sparse_pallas_v3(
 
 
 _GRP = 8  # v4: features contracted per MXU pass group
+_BUFS = 3  # v4: chunk buffers in flight (pipeline depth)
 _SHIFTS_BF = 16  # bf16 tile sublanes -> 16 row-shifted copies
 
 
@@ -434,17 +435,20 @@ def _refine_kernel_v4(
 
     @pl.when(nchunks > 0)
     def _():
-        for g in range(_GRP):  # chunk 0 in flight
-            get_dma(0, g).start()
-
-        def loop(c, _):
-            buf = c % 2
-            nxt = (c + 1) % 2
-
-            @pl.when(c + 1 < nchunks)
+        for b in range(_BUFS - 1):  # chunks [0, _BUFS-1) in flight
+            @pl.when(b < nchunks)
             def _():
                 for g in range(_GRP):
-                    get_dma(nxt, (c + 1) * _GRP + g).start()
+                    get_dma(b, b * _GRP + g).start()
+
+        def loop(c, _):
+            buf = c % _BUFS
+            nxt = (c + _BUFS - 1) % _BUFS
+
+            @pl.when(c + _BUFS - 1 < nchunks)
+            def _():
+                for g in range(_GRP):
+                    get_dma(nxt, (c + _BUFS - 1) * _GRP + g).start()
 
             for g in range(_GRP):
                 bx = bx_ref[k, c * _GRP + g]
@@ -545,10 +549,10 @@ def similarity_local_sparse_pallas_v4(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, window, _GRP * 128), jnp.bfloat16),
+            pltpu.VMEM((_BUFS, window, _GRP * 128), jnp.bfloat16),
             pltpu.VMEM((window, _GRP * 128), jnp.bfloat16),
             pltpu.VMEM((window, window), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, _GRP)),
+            pltpu.SemaphoreType.DMA((_BUFS, _GRP)),
         ],
     )
     scores = pl.pallas_call(
