@@ -80,12 +80,13 @@ def main() -> int:
         f"{sum(ms._table_bytes.values()) / (1 << 30):.2f} GB used)"
     )
 
-    def sweep_frame(r, class_list):
+    def sweep_frame(r, class_list, arrs):
         """All classes matched multiscale on one frame; returns a scalar
         data dependency."""
         acc = jnp.float32(0.0)
         for c in class_list:
-            feats, valids, whs, bs, kdims, w_bins, nf_bins = built[c]
+            feats, valids, whs, bs, w_bins, nf_bins = arrs[c]
+            kdims = built[c][4]  # static (closed over, not traced)
             _tid, _x, _y, score, _keep, _d, _s = multiscale_detect_core(
                 r, dep, feats, valids, whs, bs, cfg, 70.0, 5, kdims,
                 w_bins=w_bins, nf_bins=nf_bins,
@@ -94,16 +95,25 @@ def main() -> int:
         return acc
 
     def chain(k, class_list):
+        # Big arrays go in as ARGUMENTS: closure-captured device arrays
+        # are baked into the HLO as literals, and 15 prebuilt weight
+        # tables (~1.5 GB) blow past the remote-compile body limit.
+        arrs_in = {
+            c: tuple(built[c][i] for i in (0, 1, 2, 3, 5, 6))
+            for c in class_list
+        }
+
         @jax.jit
-        def prog(r):
+        def prog(r, arrs):
             def body(i, carry):
                 r, acc = carry
-                a = sweep_frame(r, class_list)
+                a = sweep_frame(r, class_list, arrs)
                 d = (jnp.abs(a) % 2.0).astype(jnp.uint8)
                 return (r ^ d, acc + a)
             r_out, acc = jax.lax.fori_loop(0, k, body, (r, jnp.float32(0)))
             return acc
-        return prog
+
+        return lambda r: prog(r, arrs_in)
 
     def slope(class_list, k1, k2):
         p1, p2 = chain(k1, class_list), chain(k2, class_list)
