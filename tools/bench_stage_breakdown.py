@@ -66,7 +66,51 @@ def main() -> int:
     tal = tuple(cfg.t_at_level)
     t_c = tal[-1]
 
+    import sixdpose_tpu.ops.quantize as Q
+    from sixdpose_tpu.ops.spread import (
+        compute_response_maps,
+        spread_orientations,
+    )
+
     # Stage prefixes: each returns a scalar to perturb the next frame.
+    def s_quantize(r):
+        """Quantize-only sub-stage of the map build (both modalities,
+        both pyramid levels)."""
+        acc = jnp.int32(0)
+        cur = r
+        for l in range(cfg.pyramid_levels):
+            if l > 0:
+                cur = Q.pyr_down_rgb(cur)
+            q, _ = Q.quantize_color_gradient(cur, cfg.color.weak_threshold)
+            acc = acc + jnp.sum(q[::16, ::16].astype(jnp.int32))
+        qs = Q.depth_normal_pyramid(
+            depj, cfg.pyramid_levels, cfg.depth.distance_threshold,
+            cfg.depth.difference_threshold, cfg.depth.focal,
+            cfg.depth.lut_parity,
+        )
+        for q in qs:
+            acc = acc + jnp.sum(q[::16, ::16].astype(jnp.int32))
+        return acc % 2
+
+    def s_spread(r):
+        """Quantize + spread (no response LUT)."""
+        acc = jnp.int32(0)
+        cur = r
+        qs = Q.depth_normal_pyramid(
+            depj, cfg.pyramid_levels, cfg.depth.distance_threshold,
+            cfg.depth.difference_threshold, cfg.depth.focal,
+            cfg.depth.lut_parity,
+        )
+        for l in range(cfg.pyramid_levels):
+            if l > 0:
+                cur = Q.pyr_down_rgb(cur)
+            q, _ = Q.quantize_color_gradient(cur, cfg.color.weak_threshold)
+            t_l = cfg.t_at_level[l]
+            for src in (q, qs[l]):
+                sp = spread_orientations(src, t_l)
+                acc = acc + jnp.sum(sp[::16, ::16].astype(jnp.int32))
+        return acc % 2
+
     def s_maps(r):
         pyr = _build_response_pyramid_jax(r, depj, cfg)
         return jnp.sum(pyr[1][:, ::16, ::16].astype(jnp.int32)) % 2
@@ -100,6 +144,7 @@ def main() -> int:
         return (score[0] % 2.0).astype(jnp.int32)
 
     stages = [
+        ("quantize", s_quantize), ("spread", s_spread),
         ("maps", s_maps), ("coarse", s_coarse), ("topk", s_topk),
         ("refine", s_refine), ("full", s_full),
     ]
