@@ -508,9 +508,28 @@ def verify_poses(
         vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
         ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
         ds = scene[vi, ui]
-        agree = front & (ds > 0) & (jnp.abs(ds - z) < tau_mm)
+        # SIXD-style visibility masking (pysixd/visibility.py semantics):
+        # a model point whose scene depth is clearly CLOSER (ds < z - tau)
+        # is occluded by something in front — consistent with a correct
+        # pose under occlusion, so it leaves the denominator instead of
+        # counting against.  Holes (ds == 0, sensor dropouts) likewise.
+        # Defense against "hide the pose behind the scene": an estimate
+        # only keeps a nonzero score while at least min_visib of its
+        # front points remain visible (the SIXD protocol's own
+        # visib_fract >= 0.1 target gate), so a pose pushed fully behind
+        # the surface scores 0, not 1.
+        min_visib = 0.1
+        measured = front & (ds > 0)
+        visible = measured & (ds - z > -tau_mm)
+        agree = visible & (jnp.abs(ds - z) < tau_mm)
         nfront = jnp.maximum(jnp.sum(front), 1)
-        score = jnp.sum(agree) / nfront
+        nvis = jnp.sum(visible)
+        vis_frac = nvis / nfront
+        score = jnp.where(
+            vis_frac >= min_visib,
+            jnp.sum(agree) / jnp.maximum(nvis, 1),
+            0.0,
+        )
         if use_color:
             sc = rgb_f[vi, ui]
             bright = jnp.sum(sc, axis=-1)

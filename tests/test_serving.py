@@ -122,6 +122,54 @@ def test_service_end_to_end():
         assert s["count"] >= 1 and s["mean_ms"] >= 0.0
 
 
+def test_verify_poses_occlusion_masking():
+    """Visibility-masked verification (SIXD visib semantics): a CORRECT
+    pose half-hidden behind an occluder keeps a near-perfect score
+    (occluded points leave the denominator); a pose pushed fully behind
+    the scene surface scores 0 (min-visibility gate), and a floating
+    wrong pose scores low."""
+    from sixdpose_tpu.models.refine import verify_poses
+
+    model = _model()
+    R = np.eye(3)
+    t = np.array([0.0, 0.0, 500.0])
+    depth = np.asarray(
+        render(model, (240, 180), K, R, t.reshape(3, 1), mode="depth")
+    ).astype(np.float32)
+    # Occlude the left half of the object's footprint with a near plane.
+    ys, xs = np.nonzero(depth > 0)
+    x_mid = int(np.median(xs))
+    occ = depth.copy()
+    occ[:, :x_mid] = np.where(
+        depth[:, :x_mid] > 0, 300.0, occ[:, :x_mid]
+    )
+    pts = model["pts"].astype(np.float32)
+    surf = jnp.asarray(pts)
+
+    def score(depth_img, t_est):
+        return float(
+            verify_poses(
+                surf, jnp.asarray(R[None].astype(np.float32)),
+                jnp.asarray(np.asarray(t_est, np.float32)[None]),
+                jnp.asarray(depth_img.astype(np.uint16)),
+                jnp.asarray(K.astype(np.float32)),
+            )[0]
+        )
+
+    s_clear = score(depth, t)
+    s_occluded = score(occ, t)
+    # Correct pose under 50% occlusion scores like the unoccluded one.
+    assert s_clear > 0.8
+    assert s_occluded > 0.75 * s_clear
+    # Fully behind the visible surface: everything classified occluded ->
+    # the min-visibility gate zeroes the score instead of rewarding it.
+    s_behind = score(np.full_like(depth, 300.0), t)
+    assert s_behind == 0.0
+    # A floating wrong pose (object where the scene is empty) scores ~0.
+    s_wrong = score(depth, t + np.array([120.0, 0.0, 0.0]))
+    assert s_wrong < 0.3
+
+
 def test_verify_poses_color_disambiguates():
     """Two poses with IDENTICAL depth but different texture alignment:
     depth-only scores tie, color-aware scoring prefers the right one."""
