@@ -497,33 +497,41 @@ def verify_poses(
         u = p[:, 0] / jnp.maximum(z, 1e-6) * K[0, 0] + K[0, 2]
         v = p[:, 1] / jnp.maximum(z, 1e-6) * K[1, 1] + K[1, 2]
         inb = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (z > 10.0)
-        gi = jnp.where(
-            inb,
-            (v.astype(jnp.int32) // cell) * gw + (u.astype(jnp.int32) // cell),
-            gh * gw,
-        )
+        # Integer coords are pixel CENTERS in this projection convention
+        # (backproject uses (x - cx)/f at integer x), so the nearest
+        # pixel is round, not floor — the floor's half-pixel bias pushed
+        # ~12% of silhouette-adjacent samples outside the footprint on a
+        # ~78 px object.
+        vr = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
+        ur = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
+        gi = jnp.where(inb, (vr // cell) * gw + (ur // cell), gh * gw)
         zbuf = jnp.full((gh * gw + 1,), jnp.inf, jnp.float32)
         zbuf = zbuf.at[gi].min(jnp.where(inb, z, jnp.inf))
         front = inb & (z <= zbuf[gi] + 2.0 * tau_mm)
-        vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
-        ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
+        vi = vr
+        ui = ur
         ds = scene[vi, ui]
         # SIXD-style visibility masking (pysixd/visibility.py semantics):
-        # a model point whose scene depth is clearly CLOSER (ds < z - tau)
-        # is occluded by something in front — consistent with a correct
-        # pose under occlusion, so it leaves the denominator instead of
-        # counting against.  Holes (ds == 0, sensor dropouts) likewise.
+        # a model point whose MEASURED scene depth is clearly CLOSER
+        # (ds < z - tau) is occluded by something in front — consistent
+        # with a correct pose under occlusion, so it leaves the
+        # denominator instead of counting against.  Depth holes (ds == 0)
+        # STAY in the denominator: excluding them rewards hallucinating
+        # the object over evidence-free background (measured: the mini-
+        # SIXD tool-chain recall drops 1.0 -> 0.5 when holes are
+        # excluded, because partially-overlapping wrong poses inflate).
         # Defense against "hide the pose behind the scene": an estimate
         # only keeps a nonzero score while at least min_visib of its
-        # front points remain visible (the SIXD protocol's own
+        # front points are not occluded (the SIXD protocol's own
         # visib_fract >= 0.1 target gate), so a pose pushed fully behind
         # the surface scores 0, not 1.
         min_visib = 0.1
         measured = front & (ds > 0)
-        visible = measured & (ds - z > -tau_mm)
-        agree = visible & (jnp.abs(ds - z) < tau_mm)
+        occluded = measured & (ds - z <= -tau_mm)
+        denom_pts = front & ~occluded
+        agree = measured & (jnp.abs(ds - z) < tau_mm)
         nfront = jnp.maximum(jnp.sum(front), 1)
-        nvis = jnp.sum(visible)
+        nvis = jnp.sum(denom_pts)
         vis_frac = nvis / nfront
         score = jnp.where(
             vis_frac >= min_visib,

@@ -132,9 +132,12 @@ def test_verify_poses_occlusion_masking():
 
     model = _model()
     R = np.eye(3)
-    t = np.array([0.0, 0.0, 500.0])
+    t = np.array([0.0, 0.0, 400.0])
+    # Higher-resolution camera: at the default 240x180/f=240 the box is
+    # ~29 px wide and silhouette pixels dominate the score.
+    K2 = np.array([[520.0, 0, 160.0], [0, 520.0, 120.0], [0, 0, 1.0]])
     depth = np.asarray(
-        render(model, (240, 180), K, R, t.reshape(3, 1), mode="depth")
+        render(model, (320, 240), K2, R, t.reshape(3, 1), mode="depth")
     ).astype(np.float32)
     # Occlude the left half of the object's footprint with a near plane.
     ys, xs = np.nonzero(depth > 0)
@@ -143,8 +146,16 @@ def test_verify_poses_occlusion_masking():
     occ[:, :x_mid] = np.where(
         depth[:, :x_mid] > 0, 300.0, occ[:, :x_mid]
     )
-    pts = model["pts"].astype(np.float32)
-    surf = jnp.asarray(pts)
+    # Dense surface sample (corner-only points sit on silhouette pixels
+    # where rendered depth is fragile), as the serving path uses.
+    from sixdpose_tpu.geometry.render import subdivide_mesh
+
+    pts2, faces2 = subdivide_mesh(
+        model["pts"].astype(np.float64), model["faces"], max_edge=6.0
+    )
+    surf = jnp.asarray(
+        np.concatenate([pts2, pts2[faces2].mean(1)], 0).astype(np.float32)
+    )
 
     def score(depth_img, t_est):
         return float(
@@ -152,7 +163,7 @@ def test_verify_poses_occlusion_masking():
                 surf, jnp.asarray(R[None].astype(np.float32)),
                 jnp.asarray(np.asarray(t_est, np.float32)[None]),
                 jnp.asarray(depth_img.astype(np.uint16)),
-                jnp.asarray(K.astype(np.float32)),
+                jnp.asarray(K2.astype(np.float32)),
             )[0]
         )
 
