@@ -39,10 +39,7 @@ from sixdpose_tpu.ops.similarity import (
 from sixdpose_tpu.ops.topk_nms import nms_boxes, topk_candidates
 
 
-@functools.partial(
-    jax.jit, static_argnames=("t_at_level", "top_k", "nmax", "nms_iou")
-)
-def _match_multiclass(
+def match_multiclass_core(
     response_pyramid,
     kernels,         # per level (N_total, C, KH, KW) int8
     nfeats,          # per level (N_total,)
@@ -119,6 +116,11 @@ def _match_multiclass(
     ).astype(jnp.float32)
     keep = jax.vmap(lambda b, s: nms_boxes(b, s, nms_iou))(boxes, score)
     return tid_l, x, y, score, keep
+
+
+_match_multiclass = functools.partial(
+    jax.jit, static_argnames=("t_at_level", "top_k", "nmax", "nms_iou")
+)(match_multiclass_core)
 
 
 class MultiClassMatcher:

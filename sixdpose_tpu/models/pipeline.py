@@ -36,6 +36,7 @@ from sixdpose_tpu.models.refine import (
     scene_chroma,
     scene_normals,
     verify_poses,
+    verify_poses_multi,
 )
 
 
@@ -130,6 +131,48 @@ def _masked_median(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cnt > 0, med, 0.0)
 
 
+def _seed_candidates(
+    depth: jnp.ndarray,
+    x: jnp.ndarray,            # (K,) level-0 pixel coords
+    y: jnp.ndarray,
+    wh: jnp.ndarray,           # (K, 2) render bbox (w, h)
+    src_c: jnp.ndarray,        # (K, 3) cloud centroids (m)
+    K: jnp.ndarray,
+    win: Tuple[int, int],
+) -> jnp.ndarray:
+    """Initial ICP transforms from the window-median scene depth at each
+    candidate (centroid shift, same idea as poseRefine's init guess,
+    linemodLevelup.cpp:60-104).  Returns (K, 4, 4) float32."""
+    h, w = depth.shape
+    win_h, win_w = win
+    depth_pad = jnp.pad(depth.astype(jnp.float32), ((0, win_h), (0, win_w)))
+
+    def seed_one(xi, yi, whi, src_ci):
+        window = jax.lax.dynamic_slice(
+            depth_pad,
+            (jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)),
+            (win_h, win_w),
+        )
+        ii = jnp.arange(win_h)[:, None]
+        jj = jnp.arange(win_w)[None, :]
+        mask = (ii <= whi[1]) & (jj <= whi[0]) & (window > 0)
+        z_med = _masked_median(window.reshape(-1), mask.reshape(-1)) / 1000.0
+        z_med = jnp.where(z_med > 0, z_med, 0.5)
+        u = xi.astype(jnp.float32) + whi[0].astype(jnp.float32) / 2.0
+        v = yi.astype(jnp.float32) + whi[1].astype(jnp.float32) / 2.0
+        target = jnp.stack(
+            [
+                (u - K[0, 2]) / K[0, 0] * z_med,
+                (v - K[1, 2]) / K[1, 1] * z_med,
+                z_med,
+            ]
+        )
+        T0 = jnp.eye(4, dtype=jnp.float32)
+        return T0.at[:3, 3].set(target - src_ci)
+
+    return jax.vmap(seed_one)(x, y, wh, src_c)
+
+
 def detect_refine_core(
     rgb: Optional[jnp.ndarray],
     depth: jnp.ndarray,
@@ -170,35 +213,9 @@ def detect_refine_core(
     active = jnp.isfinite(rank[order]) & (score_r >= 0)
 
     # --- candidate seeding: window median depth -> centroid shift -------
-    win_h, win_w = rb.win
-    depth_f = depth.astype(jnp.float32)
-    depth_pad = jnp.pad(depth_f, ((0, win_h), (0, win_w)))
-    wh_r = rb.bbox_wh[tid_r]  # (R, 2) int32
-
-    def seed_one(xi, yi, whi, src_ci):
-        window = jax.lax.dynamic_slice(
-            depth_pad,
-            (jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)),
-            (win_h, win_w),
-        )
-        ii = jnp.arange(win_h)[:, None]
-        jj = jnp.arange(win_w)[None, :]
-        mask = (ii <= whi[1]) & (jj <= whi[0]) & (window > 0)
-        z_med = _masked_median(window.reshape(-1), mask.reshape(-1)) / 1000.0
-        z_med = jnp.where(z_med > 0, z_med, 0.5)
-        u = xi.astype(jnp.float32) + whi[0].astype(jnp.float32) / 2.0
-        v = yi.astype(jnp.float32) + whi[1].astype(jnp.float32) / 2.0
-        target = jnp.stack(
-            [
-                (u - K[0, 2]) / K[0, 0] * z_med,
-                (v - K[1, 2]) / K[1, 1] * z_med,
-                z_med,
-            ]
-        )
-        T0 = jnp.eye(4, dtype=jnp.float32)
-        return T0.at[:3, 3].set(target - src_ci)
-
-    init_T = jax.vmap(seed_one)(x_r, y_r, wh_r, rb.src_c[tid_r])
+    init_T = _seed_candidates(
+        depth, x_r, y_r, rb.bbox_wh[tid_r], rb.src_c[tid_r], K, rb.win
+    )
 
     # --- batched ICP -----------------------------------------------------
     sp = backproject(depth, K)
@@ -284,6 +301,276 @@ def _detect_refine_jit(
         rb, icp, K, max_refine, verify_pts, verify_colors, verify_tau,
         verify_color_weight,
     )
+
+
+def detect_refine_multiclass_core(
+    rgb: Optional[jnp.ndarray],
+    depth: jnp.ndarray,
+    kernels,
+    nfeats,
+    whs,
+    feats,
+    valids,
+    pad_map,                 # (C, Nmax) int32 global template ids, -1 = pad
+    cfg: DetectorConfig,
+    threshold,
+    nmax: int,
+    rb: RefineBank,          # GLOBAL refine bank (all classes concatenated)
+    icp: IcpConfig,
+    K: jnp.ndarray,
+    max_refine: int,         # hypotheses kept PER CLASS through ICP+verify
+    verify_pts: jnp.ndarray,        # (C, P, 3) padded per-class surface pts
+    verify_valid: jnp.ndarray,      # (C, P) bool
+    verify_colors: Optional[jnp.ndarray],  # (C, P, 3) or None
+    verify_tau: float = 15.0,
+    verify_color_weight: float = 0.5,
+):
+    """Traceable fused multi-class frame: ONE program scores every class,
+    refines the top ``max_refine`` hypotheses of EVERY class with batched
+    ICP, and verifies all C*R poses together (verify_poses_multi).
+
+    The reference scores all classes inside one match() call
+    (linemodLevelup.cpp:1753-1769) but refines candidates serially on the
+    host; here the whole detect -> refine -> verify chain for C classes is
+    one dispatch and one fixed-size readback.
+
+    Returns (C, R) arrays: (tid_local, x, y, score, R (C,R,3,3), t_mm
+    (C,R,3), fitness, verify, active).
+    """
+    from sixdpose_tpu.models.detector import _build_response_pyramid_jax
+    from sixdpose_tpu.models.multiclass import match_multiclass_core
+
+    pyramid = _build_response_pyramid_jax(rgb, depth, cfg)
+    tid_l, x, y, score, keep = match_multiclass_core(
+        pyramid, kernels, nfeats, whs, feats, valids, pad_map,
+        tuple(cfg.t_at_level), threshold, cfg.top_k, nmax, cfg.nms_iou,
+    )
+    # Per-class hypothesis selection: top max_refine surviving matches.
+    rank = jnp.where(keep & (score >= 0), score, -jnp.inf)   # (C, K)
+    order = jnp.argsort(-rank, axis=1)[:, :max_refine]       # (C, R)
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    tid_r = take(tid_l)
+    x_r = take(x)
+    y_r = take(y)
+    score_r = take(score)
+    active = jnp.isfinite(take(rank)) & (score_r >= 0)       # (C, R)
+    gid = jnp.take_along_axis(
+        jnp.maximum(pad_map, 0), tid_r, axis=1
+    )                                                         # (C, R)
+
+    c_n, r_n = gid.shape
+    flat = lambda a: a.reshape(c_n * r_n, *a.shape[2:])
+    gid_f = flat(gid)
+    act_f = flat(active)
+
+    init_T = _seed_candidates(
+        depth, flat(x_r), flat(y_r), rb.bbox_wh[gid_f], rb.src_c[gid_f],
+        K, rb.win,
+    )
+
+    sp = backproject(depth, K)
+    sn = scene_normals(sp)
+    clouds_r = rb.clouds[gid_f]
+    valid_r = rb.valids[gid_f] & act_f[:, None]
+    use_color = rb.chroma is not None and rgb is not None and icp.color_weight > 0
+    chroma_r = rb.chroma[gid_f] if use_color else None
+    chroma_maps = scene_chroma(rgb) if use_color else None
+    Ts, fits, _ = icp_batch(
+        clouds_r,
+        valid_r,
+        sp,
+        sn,
+        K,
+        init_T,
+        icp.corr_dist,
+        icp.max_iters,
+        icp.coarse_gate_mult,
+        model_chroma=chroma_r,
+        chroma_maps=chroma_maps,
+        color_weight=icp.color_weight,
+        chroma_scale=icp.chroma_scale,
+        point_weight=icp.point_weight,
+        lm_damping=icp.lm_damping,
+    )
+
+    result = jnp.einsum("kij,kjl->kil", Ts, rb.base_T[gid_f])
+    R_out = result[:, :3, :3]
+    t_out = result[:, :3, 3] * 1000.0  # mm
+
+    # All C*R candidates verify together with their own class's points.
+    cls_idx = jnp.repeat(jnp.arange(c_n), r_n)
+    vscore = verify_poses_multi(
+        verify_pts[cls_idx],
+        verify_valid[cls_idx],
+        R_out,
+        t_out,
+        depth,
+        K,
+        tau_mm=verify_tau,
+        model_colors=(
+            verify_colors[cls_idx] if verify_colors is not None else None
+        ),
+        rgb=rgb if verify_colors is not None else None,
+        color_weight=verify_color_weight,
+    )
+
+    fits = jnp.where(act_f, fits, -1.0)
+    unflat = lambda a: a.reshape(c_n, r_n, *a.shape[1:])
+    return (
+        tid_r, x_r, y_r, score_r,
+        unflat(R_out), unflat(t_out), unflat(fits), unflat(vscore), active,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "icp", "max_refine", "nmax", "rb_win", "verify_tau",
+        "verify_color_weight",
+    ),
+)
+def _detect_refine_multiclass_jit(
+    rgb,
+    depth,
+    kernels,
+    nfeats,
+    whs,
+    feats,
+    valids,
+    pad_map,
+    cfg,
+    threshold,
+    nmax,
+    rb_arrays,
+    rb_win,
+    icp,
+    K,
+    max_refine,
+    verify_pts,
+    verify_valid,
+    verify_colors,
+    verify_tau,
+    verify_color_weight,
+):
+    rb = RefineBank(*rb_arrays, win=rb_win)
+    return detect_refine_multiclass_core(
+        rgb, depth, kernels, nfeats, whs, feats, valids, pad_map, cfg,
+        threshold, nmax, rb, icp, K, max_refine, verify_pts, verify_valid,
+        verify_colors, verify_tau, verify_color_weight,
+    )
+
+
+class FusedMultiClassPipeline:
+    """detect+refine+verify for ALL classes as a single-dispatch callable.
+
+    ``max_refine`` hypotheses are kept PER CLASS all the way through ICP
+    and verification so the caller ranks poses by verify score instead of
+    pre-committing to the best match similarity (wrong-surface locks under
+    clutter beat the right pose on similarity but lose on verification).
+    """
+
+    def __init__(
+        self,
+        detector: Detector,
+        K: np.ndarray,
+        class_ids=None,
+        icp: Optional[IcpConfig] = None,
+        max_refine: int = 4,
+        num_points: int = 512,
+        verify_pts: Optional[Dict[str, np.ndarray]] = None,
+        verify_colors: Optional[Dict[str, np.ndarray]] = None,
+        verify_tau: float = 15.0,
+        verify_color_weight: float = 0.5,
+    ):
+        from sixdpose_tpu.models.multiclass import MultiClassMatcher
+
+        self.det = detector
+        self.class_ids = list(class_ids or detector.class_ids())
+        self.icp = icp or IcpConfig()
+        self.max_refine = max_refine
+        self.K = jnp.asarray(np.asarray(K, np.float32))
+        self.mc = MultiClassMatcher(detector, self.class_ids)
+
+        # Global refine bank: per-class banks concatenated in pad_map's
+        # class-major global-template order.
+        rbs = []
+        for cid in self.class_ids:
+            rb = build_refine_bank(detector, cid, num_points)
+            if rb is None:
+                raise ValueError(
+                    f"class {cid!r} lacks icp_points/pose infos; train with "
+                    "render_train_templates or use the unfused serving path"
+                )
+            rbs.append(rb)
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        has_chroma = all(rb.chroma is not None for rb in rbs)
+        win_h = max(rb.win[0] for rb in rbs)
+        win_w = max(rb.win[1] for rb in rbs)
+        self.rb = RefineBank(
+            clouds=cat([rb.clouds for rb in rbs]),
+            valids=cat([rb.valids for rb in rbs]),
+            chroma=cat([rb.chroma for rb in rbs]) if has_chroma else None,
+            src_c=cat([rb.src_c for rb in rbs]),
+            bbox_wh=cat([rb.bbox_wh for rb in rbs]),
+            base_T=cat([rb.base_T for rb in rbs]),
+            win=(win_h, win_w),
+        )
+
+        # Per-class verification point sets, padded to a common P.
+        if verify_pts is None:
+            raise ValueError("verify_pts (class_id -> (P, 3) array) required")
+        p_max = max(len(np.asarray(verify_pts[c])) for c in self.class_ids)
+        vp = np.zeros((len(self.class_ids), p_max, 3), np.float32)
+        vv = np.zeros((len(self.class_ids), p_max), bool)
+        has_colors = verify_colors is not None and all(
+            verify_colors.get(c) is not None for c in self.class_ids
+        )
+        vc = np.zeros((len(self.class_ids), p_max, 3), np.float32)
+        for ci, cid in enumerate(self.class_ids):
+            pts = np.asarray(verify_pts[cid], np.float32)
+            vp[ci, : len(pts)] = pts
+            vv[ci, : len(pts)] = True
+            if has_colors:
+                vc[ci, : len(pts)] = np.asarray(
+                    verify_colors[cid], np.float32
+                )
+        self.verify_pts = jnp.asarray(vp)
+        self.verify_valid = jnp.asarray(vv)
+        self.verify_colors = jnp.asarray(vc) if has_colors else None
+        self.verify_tau = float(verify_tau)
+        self.verify_color_weight = float(verify_color_weight)
+
+    def __call__(self, rgb, depth, threshold: float):
+        """Returns (C, R) device arrays (tid_local, x, y, score, R, t_mm,
+        fitness, verify, active) ordered like ``class_ids`` — ONE dispatch,
+        no readback."""
+        rb = self.rb
+        rb_arrays = (
+            rb.clouds, rb.valids, rb.chroma, rb.src_c, rb.bbox_wh, rb.base_T
+        )
+        return _detect_refine_multiclass_jit(
+            jnp.asarray(rgb) if rgb is not None else None,
+            jnp.asarray(depth),
+            self.mc.kernels,
+            self.mc.nfeats,
+            self.mc.whs,
+            self.mc.feats,
+            self.mc.valids,
+            self.mc.pad_map,
+            self.det.cfg,
+            jnp.float32(threshold),
+            self.mc.nmax,
+            rb_arrays,
+            rb.win,
+            self.icp,
+            self.K,
+            self.max_refine,
+            self.verify_pts,
+            self.verify_valid,
+            self.verify_colors,
+            self.verify_tau,
+            self.verify_color_weight,
+        )
 
 
 class FusedPipeline:

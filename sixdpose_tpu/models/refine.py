@@ -482,21 +482,63 @@ def verify_poses(
 
     Returns (K,) float32 scores in [0, 1].
     """
+    n = model_pts_mm.shape[0]
+    k_n = Rs.shape[0]
+    pts_b = jnp.broadcast_to(model_pts_mm, (k_n, n, 3))
+    valid_b = jnp.ones((k_n, n), bool)
+    colors_b = (
+        jnp.broadcast_to(model_colors, (k_n, n, 3))
+        if model_colors is not None
+        else None
+    )
+    return verify_poses_multi(
+        pts_b, valid_b, Rs, ts_mm, depth_mm, K, tau_mm, cell,
+        colors_b, rgb, color_tau, color_weight,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau_mm", "cell", "color_tau", "color_weight")
+)
+def verify_poses_multi(
+    model_pts_mm: jnp.ndarray,   # (K, N, 3) PER-CANDIDATE surface points, mm
+    model_valid: jnp.ndarray,    # (K, N) bool — False marks pad rows
+    Rs: jnp.ndarray,             # (K, 3, 3)
+    ts_mm: jnp.ndarray,          # (K, 3) mm
+    depth_mm: jnp.ndarray,       # (H, W) uint16 scene depth
+    K: jnp.ndarray,              # (3, 3)
+    tau_mm: float = 15.0,
+    cell: int = 4,
+    model_colors: Optional[jnp.ndarray] = None,  # (K, N, 3) uint8/float
+    rgb: Optional[jnp.ndarray] = None,           # (H, W, 3) uint8
+    color_tau: float = 0.22,
+    color_weight: float = 0.5,
+):
+    """verify_poses generalized to a DIFFERENT point set per candidate
+    (padded + masked), so candidates of different classes verify together
+    in one dispatch (the fused multi-class pipeline, models/pipeline.py).
+
+    Returns (K,) float32 scores in [0, 1].
+    """
     h, w = depth_mm.shape
     gh, gw = h // cell, w // cell
     scene = depth_mm.astype(jnp.float32)
     use_color = model_colors is not None and rgb is not None
     if use_color:
-        mc = model_colors.astype(jnp.float32)
-        mcn = mc / jnp.maximum(jnp.sum(mc, axis=-1, keepdims=True), 1e-6)
+        mc_all = model_colors.astype(jnp.float32)
+        mcn_all = mc_all / jnp.maximum(
+            jnp.sum(mc_all, axis=-1, keepdims=True), 1e-6
+        )
         rgb_f = rgb.astype(jnp.float32)
+    else:
+        mcn_all = jnp.zeros_like(model_pts_mm)
 
-    def one(R, t):
-        p = model_pts_mm @ R.T + t
+    def one(pts, pvalid, R, t, mcn):
+        p = pts @ R.T + t
         z = p[:, 2]
         u = p[:, 0] / jnp.maximum(z, 1e-6) * K[0, 0] + K[0, 2]
         v = p[:, 1] / jnp.maximum(z, 1e-6) * K[1, 1] + K[1, 2]
-        inb = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (z > 10.0)
+        inb = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (z > 10.0) & pvalid
         # Integer coords are pixel CENTERS in this projection convention
         # (backproject uses (x - cx)/f at integer x), so the nearest
         # pixel is round, not floor — the floor's half-pixel bias pushed
@@ -549,7 +591,7 @@ def verify_poses(
             score = score * (1.0 - color_weight + color_weight * cfrac)
         return score
 
-    return jax.vmap(one)(Rs, ts_mm)
+    return jax.vmap(one)(model_pts_mm, model_valid, Rs, ts_mm, mcn_all)
 
 
 class PoseRefiner:

@@ -83,9 +83,17 @@ def nms_norms(
         "verify": lambda e: (-e.verify, -e.fitness, -e.similarity),
     }
     rank = keys[key]
+    # Dedupe PER CLASS: estimates of different classes never suppress each
+    # other (the reference's match lists are per class, and a geometric
+    # twin of class B close to a true instance of class A must not eat A's
+    # estimate).  Cross-class exclusion is the caller's policy decision.
     kept: List[PoseEstimate] = []
     for e in sorted(estimates, key=rank):
-        if all(np.linalg.norm(e.t - k.t) > radius_mm for k in kept):
+        if all(
+            k.class_id != e.class_id
+            or np.linalg.norm(e.t - k.t) > radius_mm
+            for k in kept
+        ):
             kept.append(e)
     return kept
 
@@ -191,41 +199,106 @@ class PoseEstimationService:
                 self._fused[class_id] = None
         return self._fused[class_id]
 
+    def _fused_multiclass(self, cids: Sequence[str]):
+        """Build (or fetch) the ONE-dispatch multi-class fused pipeline;
+        None when any class lacks the train-time refine arrays."""
+        key = tuple(cids)
+        if getattr(self, "_fused_mc_key", None) != key:
+            from sixdpose_tpu.models.pipeline import FusedMultiClassPipeline
+
+            try:
+                vps, vcs = {}, {}
+                for cid in cids:
+                    vp, vc = self._verify_points(cid)
+                    vps[cid] = np.asarray(vp)
+                    vcs[cid] = np.asarray(vc) if vc is not None else None
+                self._fused_mc = FusedMultiClassPipeline(
+                    self.det,
+                    self.K,
+                    class_ids=cids,
+                    icp=self.icp,
+                    max_refine=self.max_refine,
+                    num_points=min(self.icp.num_model_points, 512),
+                    verify_pts=vps,
+                    verify_colors=vcs,
+                    verify_tau=self.verify_tau,
+                    verify_color_weight=self.verify_color_weight,
+                )
+            except (ValueError, KeyError):
+                self._fused_mc = None
+            self._fused_mc_key = key
+        return self._fused_mc
+
     def process_frame_fused(
         self, rgb: np.ndarray, depth: np.ndarray
     ) -> Optional[List[PoseEstimate]]:
-        """One-dispatch-per-class detect+refine+verify (SURVEY.md §6's
-        one-compiled-path north star).  Returns None when any class lacks
-        the fused bank (caller falls back to the host-orchestrated path)."""
+        """One-dispatch detect+refine+verify (SURVEY.md §6's
+        one-compiled-path north star): a single fused program for ONE
+        class, or the multi-class fused pipeline (ALL classes in one
+        dispatch + one readback) when the bank holds several.  Returns
+        None when any class lacks the fused bank (caller falls back to
+        the host-orchestrated path)."""
         cids = [c for c in self.det.class_ids() if c in self.models]
-        pipes = [self._fused_pipeline(c) for c in cids]
-        if not pipes or any(p is None for p in pipes):
+        if not cids:
             return None
-        with self.metrics.timer("fused_dispatch"):
-            outs = [p(rgb, depth, self.threshold) for p in pipes]
         ests: List[PoseEstimate] = []
-        with self.metrics.timer("fused_readback"):
-            outs = [tuple(map(np.asarray, out)) for out in outs]
-        for cid, out in zip(cids, outs):
-            tid, x, y, score, R, t, fit, ver, active = out
-            for i in range(len(tid)):
-                if not active[i] or fit[i] < self.min_fitness:
-                    continue
-                if ver[i] >= 0 and ver[i] < self.min_verify:
-                    continue
-                ests.append(
-                    PoseEstimate(
-                        class_id=cid,
-                        template_id=int(tid[i]),
-                        x=int(x[i]),
-                        y=int(y[i]),
-                        similarity=float(score[i]),
-                        R=R[i].astype(np.float64),
-                        t=t[i].reshape(3, 1).astype(np.float64),
-                        fitness=float(fit[i]),
-                        verify=float(ver[i]),
-                    )
+        if len(cids) > 1:
+            pipe = self._fused_multiclass(cids)
+            if pipe is None:
+                return None
+            with self.metrics.timer("fused_dispatch"):
+                out = pipe(rgb, depth, self.threshold)
+            with self.metrics.timer("fused_readback"):
+                tid, x, y, score, R, t, fit, ver, active = map(
+                    np.asarray, out
                 )
+            for ci, cid in enumerate(cids):
+                for i in range(tid.shape[1]):
+                    if not active[ci, i] or fit[ci, i] < self.min_fitness:
+                        continue
+                    if ver[ci, i] >= 0 and ver[ci, i] < self.min_verify:
+                        continue
+                    ests.append(
+                        PoseEstimate(
+                            class_id=cid,
+                            template_id=int(tid[ci, i]),
+                            x=int(x[ci, i]),
+                            y=int(y[ci, i]),
+                            similarity=float(score[ci, i]),
+                            R=R[ci, i].astype(np.float64),
+                            t=t[ci, i].reshape(3, 1).astype(np.float64),
+                            fitness=float(fit[ci, i]),
+                            verify=float(ver[ci, i]),
+                        )
+                    )
+        else:
+            pipes = [self._fused_pipeline(c) for c in cids]
+            if any(p is None for p in pipes):
+                return None
+            with self.metrics.timer("fused_dispatch"):
+                outs = [p(rgb, depth, self.threshold) for p in pipes]
+            with self.metrics.timer("fused_readback"):
+                outs = [tuple(map(np.asarray, out)) for out in outs]
+            for cid, out in zip(cids, outs):
+                tid, x, y, score, R, t, fit, ver, active = out
+                for i in range(len(tid)):
+                    if not active[i] or fit[i] < self.min_fitness:
+                        continue
+                    if ver[i] >= 0 and ver[i] < self.min_verify:
+                        continue
+                    ests.append(
+                        PoseEstimate(
+                            class_id=cid,
+                            template_id=int(tid[i]),
+                            x=int(x[i]),
+                            y=int(y[i]),
+                            similarity=float(score[i]),
+                            R=R[i].astype(np.float64),
+                            t=t[i].reshape(3, 1).astype(np.float64),
+                            fitness=float(fit[i]),
+                            verify=float(ver[i]),
+                        )
+                    )
         self.metrics.count("frames")
         self.metrics.count("estimates", len(ests))
         kept = nms_norms(ests, self.dedupe_radius_mm, key=self.rank_key)
@@ -254,7 +327,17 @@ class PoseEstimationService:
                 matches = self.det.match(rgb, depth, self.threshold)
         self.metrics.count("frames")
         self.metrics.count("matches", len(matches))
-        matches = matches[: self.max_refine]
+        # Keep max_refine hypotheses PER CLASS (parity with the fused
+        # multi-class pipeline): a cluttered frame must not let one loud
+        # class starve every other class's refinement budget.
+        per_class_n: Dict[str, int] = {}
+        kept_matches = []
+        for m in matches:
+            n = per_class_n.get(m.class_id, 0)
+            if n < self.max_refine:
+                kept_matches.append(m)
+                per_class_n[m.class_id] = n + 1
+        matches = kept_matches
         if not matches:
             return []
 

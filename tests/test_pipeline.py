@@ -110,6 +110,177 @@ def test_fused_matches_unfused_serving(trained_box):
     assert cosang > np.cos(np.deg2rad(8.0)), cosang
 
 
+@pytest.fixture(scope="module")
+def trained_two_class():
+    """One detector bank holding two classes (box + star)."""
+    models = make_models()
+    cfg = DetectorConfig(
+        t_at_level=(4, 8),
+        top_k=16,
+        color=ColorGradientConfig(num_features=24, strong_threshold=30.0),
+        depth=DepthNormalConfig(num_features=16, extract_threshold=1, focal=160.0),
+    )
+    det = Detector(cfg)
+    for cid in ("box", "cup"):
+        stats = render_train_templates(
+            det, cid, models[cid], K,
+            radii=[420.0], min_n_views=16, im_size=IM,
+            tilt_range=(0.0, 0.1), tilt_step=1.0,
+        )
+        assert stats["added"] >= 8, (cid, stats)
+    return det, {c: models[c] for c in ("box", "cup")}
+
+
+def _two_object_scene(det, models):
+    """Both objects in one frame, z-buffer composited."""
+    _, Rb, tb = template_pose(det, "box", 0)
+    _, Rc, tc = template_pose(det, "cup", 0)
+    t_box = tb.flatten() + np.array([-35.0, 0.0, 10.0])
+    t_cup = tc.flatten() + np.array([45.0, 5.0, -15.0])
+    rgb = np.zeros((IM[1], IM[0], 3), np.uint8)
+    depth = np.zeros((IM[1], IM[0]), np.float32)
+    for cid, R, t in (("box", Rb, t_box), ("cup", Rc, t_cup)):
+        r_i, d_i = render(models[cid], IM, K, R, t, mode="rgb+depth")
+        r_i, d_i = np.asarray(r_i), np.asarray(d_i)
+        closer = (d_i > 0) & ((depth == 0) | (d_i < depth))
+        depth[closer] = d_i[closer]
+        rgb[closer] = r_i[closer]
+    gts = {"box": (Rb, t_box), "cup": (Rc, t_cup)}
+    return rgb, depth.astype(np.uint16), gts
+
+
+def test_fused_multiclass_recovers_both(trained_two_class):
+    """One dispatch over two classes recovers both poses."""
+    from sixdpose_tpu.models.pipeline import FusedMultiClassPipeline
+    from sixdpose_tpu.serving import PoseEstimationService
+
+    det, models = trained_two_class
+    rgb, depth, gts = _two_object_scene(det, models)
+
+    svc = PoseEstimationService(
+        det, models, K, threshold=55.0, max_refine=4,
+        icp=IcpConfig(max_iters=12), min_fitness=0.3,
+    )
+    vps = {c: np.asarray(svc._verify_points(c)[0]) for c in models}
+    vcs = {c: np.asarray(svc._verify_points(c)[1]) for c in models}
+    pipe = FusedMultiClassPipeline(
+        det, K, class_ids=["box", "cup"], icp=IcpConfig(max_iters=12),
+        max_refine=4, num_points=256, verify_pts=vps, verify_colors=vcs,
+    )
+    tid, x, y, score, R, t, fit, ver, active = map(
+        np.asarray, pipe(rgb, depth, 55.0)
+    )
+    assert tid.shape == (2, 4)
+    for ci, cid in enumerate(["box", "cup"]):
+        R_gt, t_gt = gts[cid]
+        # Best-verify active hypothesis of the class lands on the object.
+        idx = [i for i in range(4) if active[ci, i] and fit[ci, i] > 0.3]
+        assert idx, (cid, active[ci], fit[ci])
+        best = max(idx, key=lambda i: ver[ci, i])
+        err = np.linalg.norm(t[ci, best] - t_gt)
+        assert err < 10.0, (cid, t[ci, best], t_gt, err)
+
+
+def test_fused_multiclass_matches_per_class(trained_two_class):
+    """Multi-class fused output per class == per-class fused pipeline
+    (same templates, same ICP, same verify), modulo float tolerance."""
+    from sixdpose_tpu.models.pipeline import FusedMultiClassPipeline
+    from sixdpose_tpu.serving import PoseEstimationService
+
+    det, models = trained_two_class
+    rgb, depth, _ = _two_object_scene(det, models)
+    icp = IcpConfig(max_iters=10)
+    svc = PoseEstimationService(det, models, K, icp=icp)
+    vps = {c: np.asarray(svc._verify_points(c)[0]) for c in models}
+    vcs = {c: np.asarray(svc._verify_points(c)[1]) for c in models}
+
+    mc = FusedMultiClassPipeline(
+        det, K, class_ids=["box", "cup"], icp=icp, max_refine=3,
+        num_points=256, verify_pts=vps, verify_colors=vcs,
+    )
+    out_mc = [np.asarray(a) for a in mc(rgb, depth, 55.0)]
+
+    for ci, cid in enumerate(["box", "cup"]):
+        single = FusedPipeline(
+            det, cid, K, icp=icp, max_refine=3, num_points=256,
+            verify_pts=vps[cid], verify_colors=vcs[cid],
+        )
+        tid, x, y, score, R, t, fit, ver, active = map(
+            np.asarray, single(rgb, depth, 55.0)
+        )
+        np.testing.assert_array_equal(out_mc[8][ci], active)
+        sel = active
+        np.testing.assert_array_equal(out_mc[0][ci][sel], tid[sel])
+        np.testing.assert_allclose(
+            out_mc[3][ci][sel], score[sel], atol=1e-4
+        )
+        np.testing.assert_allclose(out_mc[5][ci][sel], t[sel], atol=0.5)
+        np.testing.assert_allclose(out_mc[7][ci][sel], ver[sel], atol=0.02)
+
+
+def test_service_multiclass_one_dispatch(trained_two_class):
+    """The serving layer routes multi-class banks through the fused
+    multi-class pipeline and returns per-class verified estimates."""
+    from sixdpose_tpu.serving import PoseEstimationService
+
+    det, models = trained_two_class
+    rgb, depth, gts = _two_object_scene(det, models)
+    svc = PoseEstimationService(
+        det, models, K, threshold=55.0, max_refine=4,
+        icp=IcpConfig(max_iters=12), min_fitness=0.3,
+    )
+    ests = svc.process_frame(rgb, depth)
+    assert svc._fused_mc is not None  # the one-dispatch path was used
+    found = {e.class_id for e in ests}
+    assert found == {"box", "cup"}, found
+    for cid in ("box", "cup"):
+        top = next(e for e in ests if e.class_id == cid)
+        _, t_gt = gts[cid]
+        assert np.linalg.norm(top.t.flatten() - t_gt) < 10.0, (cid, top.t)
+
+
+def test_verify_poses_multi_matches_single(trained_box):
+    """verify_poses_multi with broadcast points == verify_poses."""
+    import jax.numpy as jnp
+
+    from sixdpose_tpu.models.refine import verify_poses, verify_poses_multi
+
+    from sixdpose_tpu.geometry.render import subdivide_mesh
+
+    det, model = trained_box
+    _, R0, t0 = template_pose(det, "box", 0)
+    _, depth = render(model, IM, K, R0, t0.flatten(), mode="rgb+depth")
+    depth = jnp.asarray(np.asarray(depth).astype(np.uint16))
+    pts2, faces2 = subdivide_mesh(
+        np.asarray(model["pts"], np.float64),
+        np.asarray(model["faces"], np.int64), max_edge=4.0,
+    )
+    pts = np.concatenate([pts2, pts2[faces2].mean(1)], 0).astype(np.float32)
+    Rs = jnp.asarray(np.stack([R0, R0]).astype(np.float32))
+    ts = jnp.asarray(
+        np.stack([t0.flatten(), t0.flatten() + 200.0]).astype(np.float32)
+    )
+    Kj = jnp.asarray(K.astype(np.float32))
+    s1 = np.asarray(verify_poses(jnp.asarray(pts), Rs, ts, depth, Kj))
+    # Padded multi variant: second half of the rows invalid.
+    pts_pad = np.concatenate([pts, np.zeros_like(pts)], 0)
+    valid = np.concatenate(
+        [np.ones(len(pts), bool), np.zeros(len(pts), bool)]
+    )
+    s2 = np.asarray(
+        verify_poses_multi(
+            jnp.asarray(np.stack([pts_pad, pts_pad])),
+            jnp.asarray(np.stack([valid, valid])),
+            Rs, ts, depth, Kj,
+        )
+    )
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    # GT pose scores well above the displaced pose (absolute value is
+    # resolution-limited at 160x120: silhouette-adjacent samples straddle
+    # pixels).
+    assert s1[0] > 0.4 and s1[1] < 0.1, s1
+
+
 def test_fused_pipeline_empty_scene(trained_box):
     det, _ = trained_box
     pipe = FusedPipeline(

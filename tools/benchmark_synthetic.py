@@ -1,8 +1,14 @@
 #!/usr/bin/env python3
 """Synthetic multi-object accuracy benchmark (see sixdpose_tpu/benchmark.py).
 
+One fused multi-class dispatch per scene; ``--max-hyps`` hypotheses per
+class survive through batched ICP + verification and the published pose
+is the verification-ranked winner.  Artifacts are stamped with git rev +
+flags (utils/artifacts.py).
+
 Example:
-  python tools/benchmark_synthetic.py --scenes 20 --views 80
+  python tools/benchmark_synthetic.py --scenes 20 --views 80 \
+      --bank-cache /tmp/synth_bank.npz --out SYNTH_r03.json
 """
 
 import argparse
@@ -25,10 +31,17 @@ def main() -> int:
                     help="restrict the model pool (default: all 9)")
     ap.add_argument("--host-path", action="store_true",
                     help="force the host-orchestrated serving path (A/B)")
+    ap.add_argument("--bank-cache", default=None,
+                    help="npz path: reuse the trained bank across runs")
+    ap.add_argument("--max-hyps", type=int, default=5,
+                    help="hypotheses per class kept through ICP + verify")
+    ap.add_argument("--rank-key", default="verify",
+                    choices=["verify", "fitness", "similarity"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from sixdpose_tpu.benchmark import run_benchmark
+    from sixdpose_tpu.utils.artifacts import provenance, write_artifact
 
     result = run_benchmark(
         num_scenes=args.scenes,
@@ -38,11 +51,16 @@ def main() -> int:
         max_objects_per_scene=args.objects_per_scene or None,
         prefer_fused=not args.host_path,
         object_ids=args.objects,
+        bank_cache=args.bank_cache,
+        max_hyps=args.max_hyps,
+        rank_key=args.rank_key,
     )
-    print(json.dumps(result))
+    config = {k: v for k, v in vars(args).items() if k != "out"}
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(result, f, indent=1)
+        result = write_artifact(args.out, result, config)
+    else:
+        result = dict(result, provenance=provenance(config))
+    print(json.dumps(result))
     return 0
 
 
