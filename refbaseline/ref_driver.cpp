@@ -122,11 +122,17 @@ static int run_detect(int argc, char** argv) {
     int n_out = min<int>(top_k, (int)matches.size());
     for (int i = 0; i < n_out; ++i) {
         const auto& m = matches[i];
+        // Level-0 template extent so the harness can compare match
+        // CENTERS against ground truth (the reference reports top-left).
+        const auto& tp = detector.getTemplates(m.class_id, m.template_id);
+        int tw = tp.empty() ? 0 : tp[0].width;
+        int th = tp.empty() ? 0 : tp[0].height;
         if (i) js << ",";
         js << "{\"x\":" << m.x << ",\"y\":" << m.y
            << ",\"similarity\":" << m.similarity
            << ",\"class_id\":\"" << m.class_id << "\""
-           << ",\"template_id\":" << m.template_id << "}";
+           << ",\"template_id\":" << m.template_id
+           << ",\"w\":" << tw << ",\"h\":" << th << "}";
     }
     js << "]}";
     printf("%s\n", js.str().c_str());

@@ -292,11 +292,14 @@ def train_benchmark_bank(
     import json
     import os
 
+    from sixdpose_tpu.ops.quantize import QUANTIZER_VERSION
+
     knobs = {
         "classes": sorted(models.keys()),
         "min_n_views": min_n_views,
         "im_size": list(im_size),
         "cfg": repr(cfg),
+        "quantizer": QUANTIZER_VERSION,
     }
     if bank_cache and os.path.exists(bank_cache) and os.path.exists(
         bank_cache + ".meta.json"

@@ -41,6 +41,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Bump when quantization BEHAVIOR changes (cache-invalidation key for
+# trained banks; see benchmark.train_benchmark_bank).
+QUANTIZER_VERSION = "v3-fastatan2-fixedpoint-blur"
+
 # OpenCV's fixed 7-tap Gaussian for sigma=0 on small kernels
 # (cv::getGaussianKernel small_gaussian_tab): binomial-like weights.
 _GAUSS7 = np.array([0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125], dtype=np.float32)
@@ -73,11 +77,32 @@ def _sep_filter2d(img: jnp.ndarray, k: np.ndarray, mode: str) -> jnp.ndarray:
 def gaussian_blur7_u8(img: jnp.ndarray) -> jnp.ndarray:
     """7x7 Gaussian blur of a uint8 image, rounded back to uint8.
 
-    Matches cv::GaussianBlur(src, 7x7, sigma=0, BORDER_REPLICATE) on 8-bit
-    input (which rounds to uint8 between blur and Sobel).
+    BIT-EXACT with cv::GaussianBlur(src, 7x7, sigma=0, BORDER_REPLICATE)
+    on 8-bit input: OpenCV's u8 path runs in fixed point — the sigma=0
+    7-tap kernel is exactly [8,28,56,72,56,28,8]/256, both passes are
+    exact integer sums (horizontal 8 fractional bits, vertical 16), and
+    the final cast rounds HALF UP ((acc + 2^15) >> 16, fixedpoint.hpp),
+    not half-to-even like a float pipeline.  Integer adds/shifts are also
+    cheaper VPU work than float multiplies.
     """
-    f = _sep_filter2d(img.astype(jnp.float32), _GAUSS7, mode="edge")
-    return jnp.clip(jnp.round(f), 0, 255).astype(jnp.uint8)
+    k256 = (8, 28, 56, 72, 56, 28, 8)  # _GAUSS7 * 256, exact
+    r = 3
+    if img.ndim == 2:
+        x = img[..., None]
+        squeeze = True
+    else:
+        x = img
+        squeeze = False
+    p = jnp.pad(x.astype(jnp.int32), ((r, r), (r, r), (0, 0)), mode="edge")
+    h = jnp.zeros_like(p)
+    for i, k in enumerate(k256):
+        h = h + k * jnp.roll(p, r - i, axis=1)
+    v = jnp.zeros_like(h)
+    for i, k in enumerate(k256):
+        v = v + k * jnp.roll(h, r - i, axis=0)
+    out = (v[r:-r, r:-r] + (1 << 15)) >> 16
+    out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+    return out[..., 0] if squeeze else out
 
 
 def _sobel3(img_u8: jnp.ndarray):
@@ -102,6 +127,36 @@ def _sobel3(img_u8: jnp.ndarray):
         - (sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1))
     )
     return dx, dy
+
+
+def fast_atan2_deg(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV's ``fastAtan2`` polynomial in float32, degrees [0, 360).
+
+    The reference's orientation comes from ``cv::phase`` (cpp:423), which
+    is NOT IEEE atan2 but a 7th-order odd polynomial with ~0.3 deg max
+    error — enough to flip ~0.01% of pixels across 22.5-deg bin
+    boundaries vs exact atan2.  Since the reference behavior is the spec,
+    this IS the production phase function; exactness is enumerated against
+    the cv2 oracle over all int16 Sobel pairs in tests/test_quantize.py.
+    """
+    # Coefficients from opencv/modules/core/src/mathfuncs.cpp.
+    p1 = jnp.float32(0.9997878412794807 * (180.0 / np.pi))
+    p3 = jnp.float32(-0.3258083974640975 * (180.0 / np.pi))
+    p5 = jnp.float32(0.1555786518463281 * (180.0 / np.pi))
+    p7 = jnp.float32(-0.04432655554792128 * (180.0 / np.pi))
+    eps = jnp.float32(2.220446049250313e-16)  # (float)DBL_EPSILON
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    c_lo = ay / (ax + eps)   # ax >= ay branch
+    c_hi = ax / (ay + eps)   # ax <  ay branch
+    c = jnp.where(ax >= ay, c_lo, c_hi)
+    c2 = c * c
+    poly = (((p7 * c2 + p5) * c2 + p3) * c2 + p1) * c
+    a = jnp.where(ax >= ay, poly, jnp.float32(90.0) - poly)
+    a = jnp.where(x < 0, jnp.float32(180.0) - a, a)
+    a = jnp.where(y < 0, jnp.float32(360.0) - a, a)
+    return a
 
 
 @functools.partial(jax.jit, static_argnames=("weak_threshold",))
@@ -134,11 +189,11 @@ def quantize_color_gradient(rgb: jnp.ndarray, weak_threshold: float = 10.0):
         best_dy = jnp.where(better, dy[c], best_dy)
         best_mag = jnp.where(better, mag[c], best_mag)
 
-    # Orientation in degrees [0, 360), 16 bins folded to 8.
-    ang = jnp.degrees(jnp.arctan2(best_dy.astype(jnp.float32), best_dx.astype(jnp.float32)))
-    ang = jnp.where(ang < 0, ang + 360.0, ang)
+    # Orientation in degrees [0, 360) via the reference's own phase
+    # function (cv::phase = fastAtan2 polynomial), 16 bins folded to 8.
+    ang = fast_atan2_deg(best_dy, best_dx)
     # cv convertTo rounds to nearest-even; [348.75, 360) rounds to 16 -> &15 = 0.
-    bins16 = jnp.round(ang * (16.0 / 360.0)).astype(jnp.int32) & 15
+    bins16 = jnp.round(ang * jnp.float32(16.0 / 360.0)).astype(jnp.int32) & 15
     bins8 = bins16 & 7
 
     # Zero out the 1-px border before voting (cpp:446-457).

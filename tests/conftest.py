@@ -39,6 +39,15 @@ requires_reference = pytest.mark.skipif(
 )
 
 
+def pytest_collection_modifyitems(config, items):
+    """Every test not marked ``slow`` is ``fast``: ``pytest -m fast`` is
+    the quick gate (the full suite's XLA CPU compiles exceed 10 minutes
+    on small hosts; an unrunnable default gate stops being run)."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

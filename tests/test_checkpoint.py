@@ -28,6 +28,7 @@ def _bank(cfg, n=6, seed=0):
     return bank
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     cfg = DetectorConfig(use_depth=False)
     bank = _bank(cfg)

@@ -395,6 +395,7 @@ def test_leaf_mode_voting_matches_peak():
     assert d.min() < 25.0, (bins[:3], scores[:3])
 
 
+@pytest.mark.slow
 def test_evaluate_recall_synthetic():
     """End-to-end recall harness on rendered views: in-sample evaluation
     must score well above zero, and the leaf-mode variant must run and

@@ -41,6 +41,7 @@ def _object(h=60, w=60):
     return obj, (m * 255).astype(np.uint8)
 
 
+@pytest.mark.slow
 def test_multiscale_finds_rescaled_object():
     from PIL import Image
 

@@ -4,6 +4,8 @@ compiled dispatch must reproduce the unfused serving path's behavior."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 jnp = pytest.importorskip("jax.numpy")
 
 from sixdpose_tpu.benchmark import make_models

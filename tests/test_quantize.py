@@ -61,9 +61,48 @@ def test_color_gradient_matches_opencv_oracle(rng):
     oracle = _oracle_color_gradient(rgb, 10.0)
     mine, _ = Q.quantize_color_gradient(jnp.asarray(rgb), 10.0)
     mine = np.asarray(mine)
-    agree = (mine == oracle).mean()
-    # atan2 vs cv2.phase differ in the last ulp near bin boundaries.
-    assert agree > 0.99
+    # EXACT: the production phase function is the reference's own
+    # fastAtan2 polynomial (Q.fast_atan2_deg), so there is no atan2-vs-
+    # cv2.phase boundary slack left.
+    np.testing.assert_array_equal(mine, oracle)
+
+
+def test_fast_atan2_matches_cv_phase_exhaustive():
+    """Bin-level parity of the phase function over Sobel-range gradients.
+
+    The reference quantizes cv::phase output (fastAtan2, ~0.3 deg poly
+    error) into 16 bins (linemodLevelup.cpp:427-444).  Enumerate every
+    (dx, dy) pair in a dense range plus uniform samples over the full
+    3x3-Sobel-on-uint8 range (|v| <= 1020) and pairs engineered to land
+    on exact 11.25-deg half-bin boundaries; the composed bin must match
+    OpenCV's exactly — closing the tie-break gap the NORMAL_LUT way."""
+    dense = np.arange(-64, 65, dtype=np.float32)
+    gx, gy = np.meshgrid(dense, dense)
+    rng = np.random.default_rng(7)
+    rand = rng.integers(-1020, 1021, (2, 200000)).astype(np.float32)
+    # Boundary-engineered pairs: angles at k*11.25 deg exactly, where
+    # round-half-to-even decides the bin.
+    ang = np.deg2rad(np.arange(0, 360, 11.25, dtype=np.float64))
+    r = np.arange(1, 1021, 7, dtype=np.float64)
+    bx = np.round(np.cos(ang)[None] * r[:, None]).astype(np.float32).ravel()
+    by = np.round(np.sin(ang)[None] * r[:, None]).astype(np.float32).ravel()
+    x = np.concatenate([gx.ravel(), rand[0], bx])
+    y = np.concatenate([gy.ravel(), rand[1], by])
+
+    cv_deg = cv2.phase(x, y, angleInDegrees=True).astype(np.float32)
+    my_deg = np.asarray(Q.fast_atan2_deg(jnp.asarray(y), jnp.asarray(x)))
+
+    # convertTo(CV_8U, 16/360): float multiply then round-half-to-even.
+    bin_cv = (np.round(cv_deg * np.float32(16.0 / 360.0)).astype(np.int32)) & 15
+    bin_my = (np.round(my_deg * np.float32(16.0 / 360.0)).astype(np.int32)) & 15
+    mismatch = bin_cv != bin_my
+    assert not mismatch.any(), (
+        f"{mismatch.sum()} / {mismatch.size} bins differ; first at "
+        f"x={x[mismatch][:5]}, y={y[mismatch][:5]}, "
+        f"cv={cv_deg[mismatch][:5]}, mine={my_deg[mismatch][:5]}"
+    )
+    # The raw degrees agree to float32 rounding as well.
+    assert float(np.abs(cv_deg - my_deg).max()) < 1e-3
 
 
 def test_color_gradient_structured_edge():

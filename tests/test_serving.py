@@ -64,6 +64,7 @@ def test_nms_norms():
     assert kept[0].similarity == 90 and kept[1].similarity == 70
 
 
+@pytest.mark.slow
 def test_service_end_to_end():
     model = _model()
     cfg = DetectorConfig(

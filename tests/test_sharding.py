@@ -8,6 +8,8 @@ multi-device tests stand in for pod-slice tests).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 jax = pytest.importorskip("jax")
 jnp = jax.numpy
 

@@ -107,6 +107,7 @@ def _run(args, cwd):
     return r.stdout
 
 
+@pytest.mark.slow
 def test_full_tool_chain(mini_sixd, tmp_path):
     work = str(tmp_path)
     base = ["--dataset", "hinterstoisser", "--base-path", mini_sixd]

@@ -45,6 +45,7 @@ def _model():
 K = np.array([[160.0, 0, 80], [0, 160.0, 60], [0, 0, 1]])
 
 
+@pytest.mark.slow
 def test_render_train_and_detect():
     model = _model()
     cfg = DetectorConfig(
@@ -82,6 +83,7 @@ def test_render_train_and_detect():
     assert matches[0].similarity > 85.0
 
 
+@pytest.mark.slow
 def test_render_train_textured_model():
     """A texture-mapped model (no meaningful vertex colors) must train an
     RGB-modality bank from textured renders and re-detect its own view
