@@ -346,9 +346,11 @@ def run_benchmark(
     prefer_fused: bool = True,
     object_ids: Optional[List[str]] = None,
     bank_cache: Optional[str] = None,
-    max_hyps: int = 5,
+    max_hyps: int = 8,
     rank_key: str = "verify",
     scene_hook=None,
+    icp_seeds: int = 3,
+    verify_tau: float = 8.0,
 ) -> dict:
     """Train banks for all models, evaluate recall over cluttered scenes.
 
@@ -389,8 +391,9 @@ def run_benchmark(
     service = PoseEstimationService(
         det, models, K,
         threshold=threshold, max_refine=max_hyps,
-        icp=IcpConfig(max_iters=15), min_fitness=0.3,
+        icp=IcpConfig(max_iters=20), min_fitness=0.3,
         prefer_fused=prefer_fused, rank_key=rank_key,
+        icp_seeds=icp_seeds, verify_tau=verify_tau,
     )
 
     targets = 0

@@ -481,14 +481,18 @@ def render(
     the model's vertex colors (reference renderer.py:324-333, used by
     t_less_toolkit/check_poses_*.py to color objects per id).
     """
-    if surf_color is not None:
-        model = dict(model)
-        # the subdiv cache stores attrs built from the ORIGINAL colors
-        model.pop("_subdiv_cache", None)
-        model["colors"] = np.tile(
-            np.asarray(surf_color, np.float64) * 255.0,
-            (len(np.asarray(model["pts"])), 1),
-        )
+    # A flat surf_color does not invalidate the subdivision cache: the
+    # tessellated geometry is color-independent, so keep the ORIGINAL
+    # model dict (and its _subdiv_cache) and override the interpolated
+    # colors after subdivision — check_poses_tless renders each mesh
+    # hundreds of times with per-id flat colors and re-subdividing per
+    # call dominated its runtime.
+    flat_color = (
+        np.asarray(surf_color, np.float64) * 255.0
+        if surf_color is not None
+        else None
+    )
+    if flat_color is not None:
         texture = None
     if ssaa > 1 and mode in ("rgb", "rgb+depth"):
         w, h = im_size
@@ -500,6 +504,7 @@ def render(
         out = render(
             model, (w * ssaa, h * ssaa), Ks, R, t,
             clip_near, clip_far, mode, tile_px, ssaa=1, texture=texture,
+            surf_color=surf_color,
         )
         rgb_hi, depth_hi = out if mode == "rgb+depth" else (out, None)
         rgb_np = np.asarray(rgb_hi, np.float32)
@@ -560,6 +565,8 @@ def render(
             )
         pts_np, faces_np, attr_np = cache[k]
         col_np, uv_np = attr_np[:, :3], attr_np[:, 3:5]
+    if flat_color is not None:
+        col_np = np.tile(flat_color, (len(pts_np), 1))
 
     pts = jnp.asarray(pts_np.astype(np.float32))
     faces = jnp.asarray(faces_np.astype(np.int32))

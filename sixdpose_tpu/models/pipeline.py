@@ -303,6 +303,51 @@ def _detect_refine_jit(
     )
 
 
+def _inplane_seed_transforms(
+    init_T: jnp.ndarray,      # (K, 4, 4)
+    src_c: jnp.ndarray,       # (K, 3) model-cloud centroids (m)
+    seeds: int,
+    step_deg: float = 18.0,
+) -> jnp.ndarray:
+    """Expand each ICP seed into ``seeds`` in-plane rotations about the
+    camera ray through the candidate's seeded centroid -> (K*seeds, 4, 4).
+
+    Template banks discretize in-plane orientation at the tilt step
+    (models/train.py); the residual (up to ~18 deg) is the main reason
+    batched ICP converges NEAR a pose but snaps to a facet local minimum.
+    Refining from a symmetric fan of in-plane perturbations and keeping
+    the best-verified result recovers those targets for ~seeds x the ICP
+    cost of one dispatch (ICP is a small slice of the frame budget).
+    """
+    if seeds == 1:
+        return init_T
+    offs = (jnp.arange(seeds, dtype=jnp.float32) - (seeds - 1) / 2.0)
+    angs = jnp.deg2rad(offs * step_deg)                    # (S,)
+    c, s = jnp.cos(angs), jnp.sin(angs)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    rz = jnp.stack(
+        [
+            jnp.stack([c, -s, zero], -1),
+            jnp.stack([s, c, zero], -1),
+            jnp.stack([zero, zero, one], -1),
+        ],
+        -2,
+    )                                                      # (S, 3, 3)
+
+    def expand(T0, ci):
+        target = T0[:3, 3] + ci                            # rotation center
+        def one_seed(R):
+            T = jnp.eye(4, dtype=jnp.float32)
+            T = T.at[:3, :3].set(R)
+            T = T.at[:3, 3].set(target - R @ target)
+            return T @ T0
+        return jax.vmap(one_seed)(rz)                      # (S, 4, 4)
+
+    out = jax.vmap(expand)(init_T, src_c)                  # (K, S, 4, 4)
+    return out.reshape(-1, 4, 4)
+
+
 def detect_refine_multiclass_core(
     rgb: Optional[jnp.ndarray],
     depth: jnp.ndarray,
@@ -324,10 +369,14 @@ def detect_refine_multiclass_core(
     verify_colors: Optional[jnp.ndarray],  # (C, P, 3) or None
     verify_tau: float = 15.0,
     verify_color_weight: float = 0.5,
+    icp_seeds: int = 1,
+    seed_step_deg: float = 18.0,
 ):
     """Traceable fused multi-class frame: ONE program scores every class,
     refines the top ``max_refine`` hypotheses of EVERY class with batched
-    ICP, and verifies all C*R poses together (verify_poses_multi).
+    ICP (optionally from ``icp_seeds`` in-plane perturbations each), and
+    verifies all C*R*S poses together (verify_poses_multi), reducing each
+    hypothesis to its best-verified seed.
 
     The reference scores all classes inside one match() call
     (linemodLevelup.cpp:1753-1769) but refines candidates serially on the
@@ -368,12 +417,21 @@ def detect_refine_multiclass_core(
         K, rb.win,
     )
 
+    # Seed fan: each candidate refines from icp_seeds in-plane rotations.
+    s_n = icp_seeds
+    init_T = _inplane_seed_transforms(
+        init_T, rb.src_c[gid_f], s_n, seed_step_deg
+    )                                           # (C*R*S, 4, 4)
+    rep = lambda a: jnp.repeat(a, s_n, axis=0) if s_n > 1 else a
+    gid_e = rep(gid_f)
+    act_e = rep(act_f)
+
     sp = backproject(depth, K)
     sn = scene_normals(sp)
-    clouds_r = rb.clouds[gid_f]
-    valid_r = rb.valids[gid_f] & act_f[:, None]
+    clouds_r = rb.clouds[gid_e]
+    valid_r = rb.valids[gid_e] & act_e[:, None]
     use_color = rb.chroma is not None and rgb is not None and icp.color_weight > 0
-    chroma_r = rb.chroma[gid_f] if use_color else None
+    chroma_r = rb.chroma[gid_e] if use_color else None
     chroma_maps = scene_chroma(rgb) if use_color else None
     Ts, fits, _ = icp_batch(
         clouds_r,
@@ -393,12 +451,12 @@ def detect_refine_multiclass_core(
         lm_damping=icp.lm_damping,
     )
 
-    result = jnp.einsum("kij,kjl->kil", Ts, rb.base_T[gid_f])
+    result = jnp.einsum("kij,kjl->kil", Ts, rb.base_T[gid_e])
     R_out = result[:, :3, :3]
     t_out = result[:, :3, 3] * 1000.0  # mm
 
-    # All C*R candidates verify together with their own class's points.
-    cls_idx = jnp.repeat(jnp.arange(c_n), r_n)
+    # All C*R*S candidates verify together with their own class's points.
+    cls_idx = jnp.repeat(jnp.arange(c_n), r_n * s_n)
     vscore = verify_poses_multi(
         verify_pts[cls_idx],
         verify_valid[cls_idx],
@@ -414,7 +472,24 @@ def detect_refine_multiclass_core(
         color_weight=verify_color_weight,
     )
 
-    fits = jnp.where(act_f, fits, -1.0)
+    fits = jnp.where(act_e, fits, -1.0)
+    if s_n > 1:
+        # Reduce each hypothesis to its best seed: verify-ranked with the
+        # fitness as tiebreaker (and as the rank when verify is disabled).
+        rank = jnp.where(
+            vscore >= 0, vscore * 100.0 + jnp.maximum(fits, 0.0), fits
+        ).reshape(c_n * r_n, s_n)
+        best = jnp.argmax(rank, axis=1)
+        pick = lambda a: jnp.take_along_axis(
+            a.reshape(c_n * r_n, s_n, *a.shape[1:]),
+            best.reshape(-1, 1, *([1] * (a.ndim - 1))),
+            axis=1,
+        )[:, 0]
+        R_out = pick(R_out)
+        t_out = pick(t_out)
+        fits = pick(fits)
+        vscore = pick(vscore)
+
     unflat = lambda a: a.reshape(c_n, r_n, *a.shape[1:])
     return (
         tid_r, x_r, y_r, score_r,
@@ -426,7 +501,7 @@ def detect_refine_multiclass_core(
     jax.jit,
     static_argnames=(
         "cfg", "icp", "max_refine", "nmax", "rb_win", "verify_tau",
-        "verify_color_weight",
+        "verify_color_weight", "icp_seeds", "seed_step_deg",
     ),
 )
 def _detect_refine_multiclass_jit(
@@ -451,12 +526,15 @@ def _detect_refine_multiclass_jit(
     verify_colors,
     verify_tau,
     verify_color_weight,
+    icp_seeds,
+    seed_step_deg,
 ):
     rb = RefineBank(*rb_arrays, win=rb_win)
     return detect_refine_multiclass_core(
         rgb, depth, kernels, nfeats, whs, feats, valids, pad_map, cfg,
         threshold, nmax, rb, icp, K, max_refine, verify_pts, verify_valid,
-        verify_colors, verify_tau, verify_color_weight,
+        verify_colors, verify_tau, verify_color_weight, icp_seeds,
+        seed_step_deg,
     )
 
 
@@ -481,6 +559,8 @@ class FusedMultiClassPipeline:
         verify_colors: Optional[Dict[str, np.ndarray]] = None,
         verify_tau: float = 15.0,
         verify_color_weight: float = 0.5,
+        icp_seeds: int = 1,
+        seed_step_deg: float = 18.0,
     ):
         from sixdpose_tpu.models.multiclass import MultiClassMatcher
 
@@ -488,6 +568,8 @@ class FusedMultiClassPipeline:
         self.class_ids = list(class_ids or detector.class_ids())
         self.icp = icp or IcpConfig()
         self.max_refine = max_refine
+        self.icp_seeds = int(icp_seeds)
+        self.seed_step_deg = float(seed_step_deg)
         self.K = jnp.asarray(np.asarray(K, np.float32))
         self.mc = MultiClassMatcher(detector, self.class_ids)
 
@@ -570,6 +652,8 @@ class FusedMultiClassPipeline:
             self.verify_colors,
             self.verify_tau,
             self.verify_color_weight,
+            self.icp_seeds,
+            self.seed_step_deg,
         )
 
 

@@ -485,7 +485,19 @@ def similarity_local_sparse_pallas_v4(
     holds rows shifted UP by s; bf16 tiles are (16, 128) so DMA row
     offsets must be 16-aligned -> 16 copies make any window start
     aligned).  Features are processed in groups of _GRP per MXU
-    contraction."""
+    contraction.
+
+    HBM cost: the 16 bf16 copies materialize ~32x the uint8 map bytes
+    inside the jit on EVERY call (~180 MB at VGA/t=5), per class when
+    classes dispatch separately.  This is deliberate: the copies are a
+    pure data-layout op XLA fuses into one pass, and the DMA-aligned
+    layout is what buys the 3.6 -> 2.3 ms kernel win; at VGA the
+    temporary lives only for the dispatch.  If HBM pressure ever matters
+    more than latency (many concurrent VGA classes), force
+    SIXDPOSE_REFINE_KERNEL=v1 — the auto dispatch already falls back to
+    v1 whenever v4's layout assumptions (window 16, wb <= 128) fail, and
+    the single-dispatch multi-class path shares ONE response pyramid
+    across all classes so the temporary is paid once, not per class."""
     from sixdpose_tpu.ops.similarity import _s2d_maps
 
     assert window == 16, "row-shift layout assumes window == 16"

@@ -599,14 +599,24 @@ def similarity_local_sparse_auto(
         from sixdpose_tpu.ops.pallas import local_refine as LR
 
         wb = -(-response_maps.shape[2] // t)
+        # NOTE: read at TRACE time — set SIXDPOSE_REFINE_KERNEL before the
+        # first dispatch; changing it after a compile is cached has no
+        # effect (jit caches the traced kernel choice).
         forced = os.environ.get("SIXDPOSE_REFINE_KERNEL")
         if forced:
-            fn = {
+            variants = {
                 "v1": LR.similarity_local_sparse_pallas,
                 "v2": LR.similarity_local_sparse_pallas_v2,
                 "v3": LR.similarity_local_sparse_pallas_v3,
                 "v4": LR.similarity_local_sparse_pallas_v4,
-            }[forced]
+            }
+            if forced not in variants:
+                raise ValueError(
+                    f"SIXDPOSE_REFINE_KERNEL={forced!r} is not one of "
+                    f"{sorted(variants)}; unset it to use the automatic "
+                    "kernel selection"
+                )
+            fn = variants[forced]
         elif window == 16 and wb <= 128:
             fn = LR.similarity_local_sparse_pallas_v4
         else:

@@ -116,6 +116,7 @@ class PoseEstimationService:
         verify_color_weight: float = 0.5,
         rank_key: str = "verify",
         prefer_fused: bool = True,
+        icp_seeds: int = 1,
     ):
         """Args:
         detector: trained detector whose template infos carry the render
@@ -135,6 +136,9 @@ class PoseEstimationService:
         self.verify_tau = verify_tau
         self.verify_color_weight = verify_color_weight
         self.rank_key = rank_key
+        # In-plane ICP seed fan per hypothesis (multi-class fused path);
+        # 1 = single seed (the template pose as-is).
+        self.icp_seeds = int(icp_seeds)
         # prefer_fused=False forces the host-orchestrated path (A/B
         # accuracy comparisons; the fused path is the default).
         self.prefer_fused = prefer_fused
@@ -223,6 +227,7 @@ class PoseEstimationService:
                     verify_colors=vcs,
                     verify_tau=self.verify_tau,
                     verify_color_weight=self.verify_color_weight,
+                    icp_seeds=self.icp_seeds,
                 )
             except (ValueError, KeyError):
                 self._fused_mc = None
@@ -545,7 +550,16 @@ class PoseEstimationService:
 
     def _verify_points(self, class_id: str):
         """Dense surface-point sample of a model (+per-point colors when
-        the model has them), cached as device arrays."""
+        the model has them), cached as device arrays.
+
+        Colors are barycentrically interpolated through the subdivision;
+        TEXTURE-mapped models sample the texture at the interpolated UVs —
+        a textured mesh's vertex 'colors' are usually a flat fallback, and
+        verifying a textured object with flat gray destroys exactly the
+        color evidence that separates geometric twins (measured: a texbox
+        estimate sitting on the plain box verified 0.77 with gray points;
+        with texture sampling the wrong-surface lock scores drop below the
+        true pose)."""
         if not hasattr(self, "_vpts"):
             self._vpts = {}
         if class_id not in self._vpts:
@@ -556,23 +570,52 @@ class PoseEstimationService:
             model = self.models[class_id]
             pts = np.asarray(model["pts"], np.float64)
             faces = np.asarray(model["faces"], np.int64)
+            has_colors = model.get("colors") is not None
+            has_tex = (
+                model.get("texture") is not None and "texture_uv" in model
+            )
+            attrs = []
+            if has_colors:
+                attrs.append(np.asarray(model["colors"], np.float64))
+            if has_tex:
+                attrs.append(np.asarray(model["texture_uv"], np.float64))
+            attr = np.concatenate(attrs, axis=1) if attrs else None
+
             extent = float(np.linalg.norm(pts, axis=1).max())
-            pts2, faces2 = subdivide_mesh(pts, faces, max_edge=max(extent / 12, 2.0))
+            out = subdivide_mesh(
+                pts, faces, max_edge=max(extent / 12, 2.0), attrs=attr
+            )
+            if attr is not None:
+                pts2, faces2, attr2 = out
+            else:
+                pts2, faces2 = out
+                attr2 = None
             # face centroids + vertices = dense surface cover
             surf = np.concatenate([pts2, pts2[faces2].mean(1)], 0)
+            if attr2 is not None:
+                attr_s = np.concatenate([attr2, attr2[faces2].mean(1)], 0)
+            sel = None
             if len(surf) > 2048:
-                surf = surf[np.linspace(0, len(surf) - 1, 2048).astype(np.int64)]
+                sel = np.linspace(0, len(surf) - 1, 2048).astype(np.int64)
+                surf = surf[sel]
+                if attr2 is not None:
+                    attr_s = attr_s[sel]
             colors = None
-            if model.get("colors") is not None:
-                # Nearest original vertex carries the color (models color
-                # by region; sub-vertex texture detail is out of scope).
-                src = np.asarray(model["colors"], np.float64)
-                d2 = (
-                    np.sum(surf**2, 1)[:, None]
-                    + np.sum(pts**2, 1)[None, :]
-                    - 2.0 * surf @ pts.T
+            if has_tex:
+                uv = attr_s[:, -2:]
+                tex = np.asarray(model["texture"], np.float64)
+                if tex.max() <= 1.0:
+                    tex = tex * 255.0
+                th, tw = tex.shape[:2]
+                # reference UV convention (render_textured): v flips rows
+                ui = np.clip((uv[:, 0] * (tw - 1)).round(), 0, tw - 1)
+                vi = np.clip(((1.0 - uv[:, 1]) * (th - 1)).round(), 0, th - 1)
+                colors = jnp.asarray(
+                    tex[vi.astype(np.int64), ui.astype(np.int64), :3]
+                    .astype(np.float32)
                 )
-                colors = jnp.asarray(src[np.argmin(d2, axis=1)].astype(np.float32))
+            elif has_colors:
+                colors = jnp.asarray(attr_s[:, :3].astype(np.float32))
             self._vpts[class_id] = (jnp.asarray(surf.astype(np.float32)), colors)
         return self._vpts[class_id]
 

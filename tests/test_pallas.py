@@ -53,15 +53,16 @@ def test_pallas_refine_matches_xla(rng):
     jax.default_backend() not in ("tpu", "axon"),
     reason="Pallas TPU kernel needs TPU hardware (validated there)",
 )
-@pytest.mark.parametrize("variant", ["v2", "v4"])
+@pytest.mark.parametrize("variant", ["v2", "v3", "v4"])
 def test_pallas_refine_variants_match_xla(rng, variant):
-    """The v2 (row-shifted int32) and v4 (MXU selection contraction)
-    layouts are bit-exact vs the XLA lowering (same contract as v1,
-    including the multiscale scale path).  v4 is the TPU default."""
+    """Every force-selectable kernel layout (SIXDPOSE_REFINE_KERNEL) is
+    bit-exact vs the XLA lowering (same contract as v1, including the
+    multiscale scale path).  v4 is the TPU default."""
     from sixdpose_tpu.ops.pallas import local_refine as LR
 
     similarity_local_sparse_pallas_v2 = {
         "v2": LR.similarity_local_sparse_pallas_v2,
+        "v3": LR.similarity_local_sparse_pallas_v3,
         "v4": LR.similarity_local_sparse_pallas_v4,
     }[variant]
 

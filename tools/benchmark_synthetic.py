@@ -33,8 +33,12 @@ def main() -> int:
                     help="force the host-orchestrated serving path (A/B)")
     ap.add_argument("--bank-cache", default=None,
                     help="npz path: reuse the trained bank across runs")
-    ap.add_argument("--max-hyps", type=int, default=5,
+    ap.add_argument("--max-hyps", type=int, default=8,
                     help="hypotheses per class kept through ICP + verify")
+    ap.add_argument("--icp-seeds", type=int, default=3,
+                    help="in-plane ICP seed fan per hypothesis")
+    ap.add_argument("--verify-tau", type=float, default=8.0,
+                    help="verification depth-agreement tolerance (mm)")
     ap.add_argument("--rank-key", default="verify",
                     choices=["verify", "fitness", "similarity"])
     ap.add_argument("--out", default=None)
@@ -54,6 +58,8 @@ def main() -> int:
         bank_cache=args.bank_cache,
         max_hyps=args.max_hyps,
         rank_key=args.rank_key,
+        icp_seeds=args.icp_seeds,
+        verify_tau=args.verify_tau,
     )
     config = {k: v for k, v in vars(args).items() if k != "out"}
     if args.out:

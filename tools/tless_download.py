@@ -49,8 +49,36 @@ def build_urls(sensors, obj_ids, scene_ids, model_types):
     return urls
 
 
-def fetch(urls, dest):
+def _retrieve(url, zip_path):
+    """Fetch preferring HTTPS (the official host serves plain HTTP; an
+    unauthenticated transport invites archive substitution), falling back
+    to the original scheme only if the TLS endpoint is unreachable."""
     import urllib.request
+
+    https_url = url.replace("http://", "https://", 1)
+    try:
+        urllib.request.urlretrieve(https_url, zip_path)
+        return https_url
+    except Exception:
+        urllib.request.urlretrieve(url, zip_path)
+        return url
+
+
+def _safe_extract(zf: zipfile.ZipFile, out_dir: str) -> None:
+    """extractall with a path-traversal guard (zip-slip)."""
+    base = os.path.realpath(out_dir)
+    for name in zf.namelist():
+        target = os.path.realpath(os.path.join(out_dir, name))
+        if not (target == base or target.startswith(base + os.sep)):
+            raise RuntimeError(f"archive entry escapes dest: {name!r}")
+    zf.extractall(out_dir)
+
+
+def fetch(urls, dest, checksums=None):
+    """Download + unpack.  ``checksums``: optional {basename: sha256hex}
+    map (e.g. from --checksums FILE with 'sha256  name' lines); archives
+    with an entry are verified before extraction."""
+    import hashlib
 
     failures = 0
     for url, sub in urls:
@@ -58,11 +86,22 @@ def fetch(urls, dest):
         os.makedirs(out_dir, exist_ok=True)
         zip_path = os.path.join(dest, os.path.basename(url))
         try:
-            print(f"downloading {url}")
-            urllib.request.urlretrieve(url, zip_path)
+            used = _retrieve(url, zip_path)
+            print(f"downloaded {used}")
+            expected = (checksums or {}).get(os.path.basename(url))
+            if expected:
+                h = hashlib.sha256()
+                with open(zip_path, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                if h.hexdigest() != expected:
+                    raise RuntimeError(
+                        f"sha256 mismatch: got {h.hexdigest()}, "
+                        f"manifest says {expected}"
+                    )
             print(f"unpacking -> {out_dir}")
             with zipfile.ZipFile(zip_path) as zf:
-                zf.extractall(out_dir)
+                _safe_extract(zf, out_dir)
             os.remove(zip_path)
         except Exception as e:  # no egress / partial archive: keep going
             failures += 1
@@ -85,7 +124,18 @@ def main() -> int:
                     help="write 'url -> subdir' lines here instead of fetching")
     ap.add_argument("--fetch", action="store_true")
     ap.add_argument("--dest", default=".")
+    ap.add_argument("--checksums", default=None,
+                    help="file of 'sha256hex  archive-basename' lines; "
+                    "archives listed there are verified before unpack")
     args = ap.parse_args()
+
+    checksums = {}
+    if args.checksums:
+        with open(args.checksums) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    checksums[parts[1]] = parts[0]
 
     urls = build_urls(args.sensors, args.objects, args.scenes,
                       args.model_types)
@@ -96,7 +146,7 @@ def main() -> int:
         print(f"wrote {len(urls)} urls to {args.manifest}")
         return 0
     if args.fetch:
-        return 1 if fetch(urls, args.dest) else 0
+        return 1 if fetch(urls, args.dest, checksums) else 0
     for url, sub in urls:
         print(f"{url} -> {sub}")
     return 0
