@@ -172,6 +172,63 @@ def main() -> int:
 
     fps = 1.0 / slope(p1, p2)
 
+    # ---- batched frames: per-frame cost at B > 1 (VERDICT r02 item 5).
+    # The reference's analog is a strictly serial 1000-frame loop
+    # (test.cpp:162-224); the TPU amortizes fixed per-dispatch work
+    # (quantize pyramid setup, top-k) across a vmapped batch.  Same
+    # chained-slope methodology, B frames per chain step; per-frame time
+    # = slope / B.
+    batch_fps = {}
+    for b_n in (2, 4, 8):
+        rgb_b0 = jnp.asarray(
+            np.stack([rgb] * b_n) ^ np.arange(b_n, dtype=np.uint8)[
+                :, None, None, None
+            ]
+        )
+
+        def frame_body_b(rb_, i):
+            tid, x, y, score, keep = jax.vmap(
+                lambda r: detect_frame_core(
+                    r, depj, kernels, nfeats, whs, cfg, 75.0, True,
+                    feats, valids,
+                )
+            )(rb_)
+            d = (score[:, 0] % 2.0).astype(jnp.uint8)
+            return rb_ ^ d[:, None, None, None]
+
+        def chain_b(k):
+            @jax.jit
+            def prog(rb_):
+                return jax.lax.fori_loop(
+                    0, k, lambda i, v: frame_body_b(v, i), rb_
+                )
+            return prog
+
+        k1b = max(2, k1 // 1)
+        k2b = max(k1b + 4, k2 // b_n)
+        pb1, pb2 = chain_b(k1b), chain_b(k2b)
+        for p in (pb1, pb2):
+            r = p(rgb_b0)
+            _ = float(jnp.sum(r[0, ..., :1].astype(jnp.float32)))
+
+        def run_b(p):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                r = p(rgb_b0)
+                _ = float(jnp.sum(r[0, ..., :1].astype(jnp.float32)))
+                best = min(best, time.time() - t0)
+            return best
+
+        dt = None
+        for _ in range(5):
+            t1, t2 = run_b(pb1), run_b(pb2)
+            dt = (t2 - t1) / (k2b - k1b)
+            if dt > 0:
+                break
+        dt = max(dt, 1e-9)
+        batch_fps[b_n] = b_n / dt
+
     # ---- detect+refine fps: the full serving path (match -> seed ->
     # batched ICP -> verify) as ONE chained program (VERDICT r01 item 2).
     # The reference anchor is the same ~30 ms/frame match loop plus a
@@ -281,6 +338,10 @@ def main() -> int:
                 "detect_refine_vs_baseline": round(
                     refine_fps / BASELINE_FPS, 2
                 ),
+                **{
+                    f"match_fps_b{b_n}": round(v, 1)
+                    for b_n, v in batch_fps.items()
+                },
             }
         )
     )
