@@ -1,7 +1,9 @@
 """Benchmark: detection throughput vs the reference CPU baseline.
 
-Prints ONE JSON line:
-  {"metric": "match_fps", "value": N, "unit": "frames/s", "vs_baseline": R}
+Prints a cumulative JSON line after EVERY stage (the last line is the
+most complete record); under a driver timeout the headline number is
+never lost.  Schema of each line:
+  {"metric": "match_fps", "value": N, "unit": "frames/s", "vs_baseline": R, ...}
 
 Baseline: the reference's single-scale one-class match at ~0.03 s/frame on
 VGA (linemodLevelup/notes.md:29; BASELINE.md) -> 33.33 fps.  Same workload
@@ -15,7 +17,12 @@ chain lengths, and the per-frame time is the slope.  Plain async-dispatch
 loops are NOT trustworthy on tunneled devices: the relay acks dispatches
 without executing them, and one host readback permanently degrades
 dispatch to synchronous RTT.  The slope of chained-in-program iterations
-is pure device compute.
+is pure device compute.  The chain length is a TRACED fori_loop bound, so
+each workload compiles exactly one program for both chain lengths.
+
+Time budget: ``SIXDPOSE_BENCH_BUDGET_S`` (default 480 s).  Optional
+stages (detect+refine, B-sweep) are skipped once the budget is spent —
+the already-printed lines keep their numbers.
 """
 
 from __future__ import annotations
@@ -29,6 +36,26 @@ import numpy as np
 
 BASELINE_FPS = 1.0 / 0.03  # reference ~0.03 s/frame (notes.md:29)
 CASE1 = "/root/reference/linemodLevelup/test/case1"
+T_START = time.time()
+BUDGET_S = float(os.environ.get("SIXDPOSE_BENCH_BUDGET_S", "480"))
+
+_RECORD = {
+    "metric": "match_fps",
+    "value": 0.0,
+    "unit": "frames/s",
+    "vs_baseline": 0.0,
+}
+
+
+def _emit(**kw):
+    """Update the cumulative record and print it NOW (streamed metrics:
+    a timeout can only lose not-yet-measured stages, VERDICT r03 item 3)."""
+    _RECORD.update(kw)
+    print(json.dumps(_RECORD), flush=True)
+
+
+def _over_budget(reserve_s: float = 30.0) -> bool:
+    return (time.time() - T_START) > (BUDGET_S - reserve_s)
 
 
 def _load_case1():
@@ -76,6 +103,29 @@ def _synthetic_bank(num_templates=89, seed=0):
     return "synthetic", templates, rgb, dep
 
 
+def _slope_fps(prog, x0, readout, k1, k2, retries=5):
+    """Per-frame fps from the two-chain-length slope.  ``prog(k, x)`` runs
+    a k-step chain; ``readout(result)`` forces a tiny sync."""
+    import jax.numpy as jnp
+
+    def run(k):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            r = prog(jnp.int32(k), x0)
+            readout(r)
+            best = min(best, time.time() - t0)
+        return best
+
+    dt = None
+    for _ in range(retries):
+        t1, t2 = run(k1), run(k2)
+        dt = (t2 - t1) / (k2 - k1)
+        if dt > 0:
+            return 1.0 / dt
+    return 1.0 / max(dt, 1e-9)
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -108,11 +158,12 @@ def main() -> int:
         d = (score[0] % 2.0).astype(jnp.uint8)
         return r ^ d
 
-    def chain(k):
-        @jax.jit
-        def prog(r):
-            return jax.lax.fori_loop(0, k, lambda i, v: frame_body(v, i), r)
-        return prog
+    @jax.jit
+    def match_chain(k, r):
+        return jax.lax.fori_loop(0, k, lambda i, v: frame_body(v, i), r)
+
+    def readout(r):
+        _ = float(jnp.sum(r[..., :1].astype(jnp.float32)))
 
     # --- golden gate: the bench must not report fps while the detection
     # is wrong.  Runs the EXACT code being timed (detect_frame_core with
@@ -132,58 +183,114 @@ def main() -> int:
             if k_np[i] and s_np[i] >= 0
         ]
         if not ok or ok[0] != (327, 127):
-            print(
-                json.dumps(
-                    {
-                        "metric": "match_fps",
-                        "value": 0.0,
-                        "unit": "frames/s",
-                        "vs_baseline": 0.0,
-                        "error": f"golden (327,127) FAILED: got {ok[:3]}",
-                    }
-                )
-            )
+            _emit(error=f"golden (327,127) FAILED: got {ok[:3]}")
             return 1
 
+    # ---- headline: single-frame match fps (streamed immediately).
     k1, k2 = 4, 36
-    p1, p2 = chain(k1), chain(k2)
-    for p in (p1, p2):  # compile warm (readbacks here are fine: they are
-        r = p(rgbj)     # not in the timed region and slope cancels RTT)
-        _ = float(jnp.sum(r[..., :1].astype(jnp.float32)))
+    for k in (k1, k2):  # warm both trip counts through the ONE program
+        r = match_chain(jnp.int32(k), rgbj)
+        readout(r)
+    fps = _slope_fps(match_chain, rgbj, readout, k1, k2)
+    _emit(
+        value=round(fps, 1),
+        vs_baseline=round(fps / BASELINE_FPS, 2),
+    )
 
-    def run(p):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            r = p(rgbj)
-            _ = float(jnp.sum(r[..., :1].astype(jnp.float32)))
-            best = min(best, time.time() - t0)
-        return best
+    # ---- detect+refine fps: the full serving path (match -> seed ->
+    # batched ICP -> verify) as ONE chained program (VERDICT r01 item 2).
+    # The reference anchor is the same ~30 ms/frame match loop plus a
+    # SERIAL per-candidate Open3D ICP (test.cpp:162-224), so >= 33 fps
+    # already beats it.  Refine workload: 8 candidates x 512-point clouds,
+    # 16 GN iterations, colored term on, 512-point verification — the
+    # serving defaults.  The clouds are synthetic box surfaces (case1
+    # banks carry no train-time clouds); ICP/verify FLOPs depend on the
+    # shapes, not the values, and the match golden is already gated above.
+    if not _over_budget():
+        from sixdpose_tpu.config import IcpConfig
+        from sixdpose_tpu.models.pipeline import RefineBank, detect_refine_core
 
-    def slope(p1, p2):
-        """Per-frame seconds; retries when host jitter makes the slope
-        non-positive (t2 <= t1 would otherwise emit negative/inf fps)."""
-        for _ in range(5):
-            t1, t2 = run(p1), run(p2)
-            dt = (t2 - t1) / (k2 - k1)
-            if dt > 0:
-                return dt
-        return max((t2 - t1) / (k2 - k1), 1e-9)
+        rng = np.random.default_rng(0)
+        n_tmpl = nfeats[0].shape[0]
+        n_pts = 512
+        # Box-surface clouds (meters) centered at origin, ~10 cm across.
+        face = rng.integers(0, 3, (n_tmpl, n_pts))
+        sgn = rng.choice([-1.0, 1.0], (n_tmpl, n_pts))
+        cl = rng.uniform(-0.05, 0.05, (n_tmpl, n_pts, 3)).astype(np.float32)
+        for ax in range(3):
+            m = face == ax
+            cl[..., ax] = np.where(m, 0.05 * sgn, cl[..., ax]).astype(
+                np.float32
+            )
+        whs0 = np.asarray(whs[0])
+        rb = RefineBank(
+            clouds=jnp.asarray(cl),
+            valids=jnp.ones((n_tmpl, n_pts), bool),
+            chroma=jnp.asarray(
+                rng.uniform(0.2, 0.4, (n_tmpl, n_pts, 2)).astype(np.float32)
+            ),
+            src_c=jnp.asarray(cl.mean(1)),
+            bbox_wh=jnp.asarray(whs0.astype(np.int32)),
+            base_T=jnp.asarray(
+                np.tile(np.eye(4, dtype=np.float32), (n_tmpl, 1, 1))
+            ),
+            win=(
+                int(-(-(whs0[:, 1].max() + 1) // 16) * 16),
+                int(-(-(whs0[:, 0].max() + 1) // 16) * 16),
+            ),
+        )
+        K_cam = jnp.asarray(
+            np.array(
+                [
+                    [572.4114, 0, 325.2611],
+                    [0, 573.57043, 242.04899],
+                    [0, 0, 1],
+                ],
+                np.float32,
+            )
+        )
+        icp_cfg = IcpConfig(max_iters=16)
+        vpts = jnp.asarray((cl[0] * 1000.0).astype(np.float32))
+        vcols = jnp.asarray(rng.integers(60, 220, (n_pts, 3)).astype(np.float32))
 
-    fps = 1.0 / slope(p1, p2)
+        def frame_body_refine(r, i):
+            out = detect_refine_core(
+                r, depj, kernels, nfeats, whs, cfg, 75.0, feats, valids,
+                rb, icp_cfg, K_cam, 8, vpts, vcols,
+            )
+            fit = out[6]
+            d = (jnp.abs(fit[0]) * 255.0 % 2.0).astype(jnp.uint8)
+            return r ^ d
+
+        @jax.jit
+        def refine_chain(k, r):
+            return jax.lax.fori_loop(
+                0, k, lambda i, v: frame_body_refine(v, i), r
+            )
+
+        k1r, k2r = 2, 18
+        for k in (k1r, k2r):
+            r = refine_chain(jnp.int32(k), rgbj)
+            readout(r)
+        refine_fps = _slope_fps(refine_chain, rgbj, readout, k1r, k2r)
+        _emit(
+            detect_refine_fps=round(refine_fps, 1),
+            detect_refine_vs_baseline=round(refine_fps / BASELINE_FPS, 2),
+        )
 
     # ---- batched frames: per-frame cost at B > 1 (VERDICT r02 item 5).
     # The reference's analog is a strictly serial 1000-frame loop
     # (test.cpp:162-224); the TPU amortizes fixed per-dispatch work
     # (quantize pyramid setup, top-k) across a vmapped batch.  Same
     # chained-slope methodology, B frames per chain step; per-frame time
-    # = slope / B.
-    batch_fps = {}
+    # = slope / B.  Chain lengths scale down with B so total timed work
+    # stays ~constant per stage.
     for b_n in (2, 4, 8):
+        if _over_budget():
+            break
         rgb_b0 = jnp.asarray(
-            np.stack([rgb] * b_n) ^ np.arange(b_n, dtype=np.uint8)[
-                :, None, None, None
-            ]
+            np.stack([rgb] * b_n)
+            ^ np.arange(b_n, dtype=np.uint8)[:, None, None, None]
         )
 
         def frame_body_b(rb_, i):
@@ -196,155 +303,22 @@ def main() -> int:
             d = (score[:, 0] % 2.0).astype(jnp.uint8)
             return rb_ ^ d[:, None, None, None]
 
-        def chain_b(k):
-            @jax.jit
-            def prog(rb_):
-                return jax.lax.fori_loop(
-                    0, k, lambda i, v: frame_body_b(v, i), rb_
-                )
-            return prog
-
-        k1b = max(2, k1 // 1)
-        k2b = max(k1b + 4, k2 // b_n)
-        pb1, pb2 = chain_b(k1b), chain_b(k2b)
-        for p in (pb1, pb2):
-            r = p(rgb_b0)
-            _ = float(jnp.sum(r[0, ..., :1].astype(jnp.float32)))
-
-        def run_b(p):
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.time()
-                r = p(rgb_b0)
-                _ = float(jnp.sum(r[0, ..., :1].astype(jnp.float32)))
-                best = min(best, time.time() - t0)
-            return best
-
-        dt = None
-        for _ in range(5):
-            t1, t2 = run_b(pb1), run_b(pb2)
-            dt = (t2 - t1) / (k2b - k1b)
-            if dt > 0:
-                break
-        dt = max(dt, 1e-9)
-        batch_fps[b_n] = b_n / dt
-
-    # ---- detect+refine fps: the full serving path (match -> seed ->
-    # batched ICP -> verify) as ONE chained program (VERDICT r01 item 2).
-    # The reference anchor is the same ~30 ms/frame match loop plus a
-    # SERIAL per-candidate Open3D ICP (test.cpp:162-224), so >= 33 fps
-    # already beats it.  Refine workload: 8 candidates x 512-point clouds,
-    # 16 GN iterations, colored term on, 2048-point verification — the
-    # serving defaults.  The clouds are synthetic box surfaces (case1
-    # banks carry no train-time clouds); ICP/verify FLOPs depend on the
-    # shapes, not the values, and the match golden is already gated above.
-    import jax.numpy as jnp_  # noqa: F401 (alias kept for clarity below)
-    from sixdpose_tpu.config import IcpConfig
-    from sixdpose_tpu.models.pipeline import RefineBank, detect_refine_core
-
-    rng = np.random.default_rng(0)
-    n_tmpl = nfeats[0].shape[0]
-    n_pts = 512
-    # Box-surface clouds (meters) centered at origin, ~10 cm across.
-    face = rng.integers(0, 3, (n_tmpl, n_pts))
-    sgn = rng.choice([-1.0, 1.0], (n_tmpl, n_pts))
-    cl = rng.uniform(-0.05, 0.05, (n_tmpl, n_pts, 3)).astype(np.float32)
-    for ax in range(3):
-        m = face == ax
-        cl[..., ax] = np.where(m, 0.05 * sgn, cl[..., ax]).astype(np.float32)
-    whs0 = np.asarray(whs[0])
-    rb = RefineBank(
-        clouds=jnp.asarray(cl),
-        valids=jnp.ones((n_tmpl, n_pts), bool),
-        chroma=jnp.asarray(
-            rng.uniform(0.2, 0.4, (n_tmpl, n_pts, 2)).astype(np.float32)
-        ),
-        src_c=jnp.asarray(cl.mean(1)),
-        bbox_wh=jnp.asarray(whs0.astype(np.int32)),
-        base_T=jnp.asarray(
-            np.tile(np.eye(4, dtype=np.float32), (n_tmpl, 1, 1))
-        ),
-        win=(
-            int(-(-(whs0[:, 1].max() + 1) // 16) * 16),
-            int(-(-(whs0[:, 0].max() + 1) // 16) * 16),
-        ),
-    )
-    K_cam = jnp.asarray(
-        np.array(
-            [[572.4114, 0, 325.2611], [0, 573.57043, 242.04899], [0, 0, 1]],
-            np.float32,
-        )
-    )
-    icp_cfg = IcpConfig(max_iters=16)
-    vpts = jnp.asarray(
-        (cl[0] * 1000.0).astype(np.float32)
-    )  # 512-pt verify sample, mm
-    vcols = jnp.asarray(
-        rng.integers(60, 220, (n_pts, 3)).astype(np.float32)
-    )
-
-    def frame_body_refine(r, i):
-        out = detect_refine_core(
-            r, depj, kernels, nfeats, whs, cfg, 75.0, feats, valids,
-            rb, icp_cfg, K_cam, 8, vpts, vcols,
-        )
-        fit = out[6]
-        d = (jnp.abs(fit[0]) * 255.0 % 2.0).astype(jnp.uint8)
-        return r ^ d
-
-    def chain_refine(k):
         @jax.jit
-        def prog(r):
+        def batch_chain(k, rb_):
             return jax.lax.fori_loop(
-                0, k, lambda i, v: frame_body_refine(v, i), r
+                0, k, lambda i, v: frame_body_b(v, i), rb_
             )
-        return prog
 
-    k1r, k2r = 2, 18
-    q1, q2 = chain_refine(k1r), chain_refine(k2r)
-    for q in (q1, q2):
-        r = q(rgbj)
-        _ = float(jnp.sum(r[..., :1].astype(jnp.float32)))
-
-    def slope_r():
-        best = None
-        for _ in range(5):
-            t1s, t2s = [], []
-            for _ in range(3):
-                t0 = time.time()
-                r = q1(rgbj)
-                _ = float(jnp.sum(r[..., :1].astype(jnp.float32)))
-                t1s.append(time.time() - t0)
-                t0 = time.time()
-                r = q2(rgbj)
-                _ = float(jnp.sum(r[..., :1].astype(jnp.float32)))
-                t2s.append(time.time() - t0)
-            dt = (min(t2s) - min(t1s)) / (k2r - k1r)
-            if dt > 0:
-                return dt
-            best = dt
-        return max(best, 1e-9)
-
-    refine_fps = 1.0 / slope_r()
-
-    print(
-        json.dumps(
-            {
-                "metric": "match_fps",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
-                "detect_refine_fps": round(refine_fps, 1),
-                "detect_refine_vs_baseline": round(
-                    refine_fps / BASELINE_FPS, 2
-                ),
-                **{
-                    f"match_fps_b{b_n}": round(v, 1)
-                    for b_n, v in batch_fps.items()
-                },
-            }
+        k1b = max(2, k1 // b_n)
+        k2b = max(k1b + 4, k2 // b_n)
+        for k in (k1b, k2b):
+            r = batch_chain(jnp.int32(k), rgb_b0)
+            readout(r[0])
+        fps_b = _slope_fps(
+            batch_chain, rgb_b0, lambda r: readout(r[0]), k1b, k2b
         )
-    )
+        _emit(**{f"match_fps_b{b_n}": round(b_n * fps_b, 1)})
+
     return 0
 
 

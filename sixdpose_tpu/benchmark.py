@@ -329,9 +329,20 @@ def train_benchmark_bank(
             print(f"trained {cid}: {stats} ({det.num_templates(cid)} templates)")
     train_time = time.time() - t0
     if bank_cache:
-        det.write_classes(bank_cache)
-        with open(bank_cache + ".meta.json", "w") as f:
+        # Atomic publish: write both files to temp paths and os.replace()
+        # them, sidecar LAST — an interrupt can never leave a truncated
+        # bank next to a matching sidecar (which would "cache hit" into a
+        # crash, or worse load a partial bank).
+        # np.savez appends ".npz" unless the path already ends with it, so
+        # the temp name must keep the extension LAST.
+        root, ext = os.path.splitext(bank_cache)
+        tmp_bank = root + ".tmp" + ext
+        tmp_meta = bank_cache + ".meta.json.tmp"
+        det.write_classes(tmp_bank)
+        with open(tmp_meta, "w") as f:
             json.dump(knobs, f)
+        os.replace(tmp_bank, bank_cache)
+        os.replace(tmp_meta, bank_cache + ".meta.json")
     return det, train_time
 
 

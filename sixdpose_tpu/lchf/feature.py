@@ -57,6 +57,11 @@ class LchfConfig:
     spread_t: int = 5
     lut: str = "binary45"
     focal: float = 1150.0
+    # cxxLCHF re-implements quantization itself (lchf.cpp:59-522), so the
+    # matcher's OpenCV fastAtan2 parity does not bind LCHF features.
+    # "exact" IEEE atan2 is strictly more accurate and empirically far more
+    # stable for forest routing (see ops/quantize.py:quantize_color_gradient).
+    phase: str = "exact"
 
 
 @dataclasses.dataclass
@@ -107,7 +112,9 @@ def extract_patch_feature(
         return None
     center_dep = float(depth[nz].astype(np.float64).mean())
 
-    q_rgb, mag = Q.quantize_color_gradient(jnp.asarray(rgb), cfg.weak_threshold)
+    q_rgb, mag = Q.quantize_color_gradient(
+        jnp.asarray(rgb), cfg.weak_threshold, phase=cfg.phase
+    )
     q_rgb = np.asarray(q_rgb)
     mag = np.asarray(mag)
     rgb_feats = _extract_rgb_lchf(q_rgb, mag, mask, cfg)
@@ -175,7 +182,9 @@ def construct_response(rgb: np.ndarray, depth: np.ndarray, cfg: LchfConfig) -> n
     h, w = depth.shape
     hp = -(-h // 16) * 16
     wp = -(-w // 16) * 16
-    q_rgb, _ = Q.quantize_color_gradient(jnp.asarray(rgb), cfg.weak_threshold)
+    q_rgb, _ = Q.quantize_color_gradient(
+        jnp.asarray(rgb), cfg.weak_threshold, phase=cfg.phase
+    )
     q_dep = Q.quantize_depth_normal(
         jnp.asarray(depth), cfg.distance_threshold, cfg.difference_threshold, cfg.focal
     )

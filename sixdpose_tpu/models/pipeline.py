@@ -191,8 +191,15 @@ def detect_refine_core(
     verify_colors: Optional[jnp.ndarray] = None,
     verify_tau: float = 15.0,
     verify_color_weight: float = 0.5,
+    icp_seeds: int = 1,
+    seed_step_deg: float = 18.0,
 ):
     """Traceable fused frame: match + batched ICP + verify, no host trips.
+
+    Each candidate optionally refines from ``icp_seeds`` in-plane seed
+    rotations (the same fan as the multi-class core) and keeps its
+    best-verified seed, so single-class and multi-class fused paths stay
+    apples-to-apples under the serving ``icp_seeds`` knob.
 
     Returns per-candidate arrays of length ``max_refine``:
       (tid, x, y, score, R (R,3,3), t_mm (R,3), fitness, verify, active).
@@ -217,13 +224,22 @@ def detect_refine_core(
         depth, x_r, y_r, rb.bbox_wh[tid_r], rb.src_c[tid_r], K, rb.win
     )
 
+    # --- in-plane seed fan (R -> R*S candidates) -------------------------
+    s_n = icp_seeds
+    init_T = _inplane_seed_transforms(
+        init_T, rb.src_c[tid_r], s_n, seed_step_deg
+    )
+    rep = lambda a: jnp.repeat(a, s_n, axis=0) if s_n > 1 else a
+    tid_e = rep(tid_r)
+    act_e = rep(active)
+
     # --- batched ICP -----------------------------------------------------
     sp = backproject(depth, K)
     sn = scene_normals(sp)
-    clouds_r = rb.clouds[tid_r]
-    valid_r = rb.valids[tid_r] & active[:, None]
+    clouds_r = rb.clouds[tid_e]
+    valid_r = rb.valids[tid_e] & act_e[:, None]
     use_color = rb.chroma is not None and rgb is not None and icp.color_weight > 0
-    chroma_r = rb.chroma[tid_r] if use_color else None
+    chroma_r = rb.chroma[tid_e] if use_color else None
     chroma_maps = scene_chroma(rgb) if use_color else None
     Ts, fits, _ = icp_batch(
         clouds_r,
@@ -244,7 +260,7 @@ def detect_refine_core(
     )
 
     # --- compose with the template pose ----------------------------------
-    result = jnp.einsum("kij,kjl->kil", Ts, rb.base_T[tid_r])
+    result = jnp.einsum("kij,kjl->kil", Ts, rb.base_T[tid_e])
     R_out = result[:, :3, :3]
     t_out = result[:, :3, 3] * 1000.0  # mm
 
@@ -262,9 +278,28 @@ def detect_refine_core(
             color_weight=verify_color_weight,
         )
     else:
-        vscore = jnp.full((max_refine,), -1.0, jnp.float32)
+        vscore = jnp.full((max_refine * s_n,), -1.0, jnp.float32)
 
-    fits = jnp.where(active, fits, -1.0)
+    fits = jnp.where(act_e, fits, -1.0)
+    vscore = jnp.where(act_e, vscore, -1.0)
+
+    if s_n > 1:
+        # Reduce each candidate to its best seed (verify-ranked, fitness
+        # as tiebreaker / fallback when verify is disabled).
+        seed_rank = jnp.where(
+            vscore >= 0, vscore * 100.0 + jnp.maximum(fits, 0.0), fits
+        ).reshape(max_refine, s_n)
+        best = jnp.argmax(seed_rank, axis=1)
+        pick = lambda a: jnp.take_along_axis(
+            a.reshape(max_refine, s_n, *a.shape[1:]),
+            best.reshape(-1, 1, *([1] * (a.ndim - 1))),
+            axis=1,
+        )[:, 0]
+        R_out = pick(R_out)
+        t_out = pick(t_out)
+        fits = pick(fits)
+        vscore = pick(vscore)
+
     return tid_r, x_r, y_r, score_r, R_out, t_out, fits, vscore, active
 
 
@@ -272,7 +307,7 @@ def detect_refine_core(
     jax.jit,
     static_argnames=(
         "cfg", "icp", "max_refine", "rb_win", "verify_tau",
-        "verify_color_weight",
+        "verify_color_weight", "icp_seeds", "seed_step_deg",
     ),
 )
 def _detect_refine_jit(
@@ -294,12 +329,14 @@ def _detect_refine_jit(
     verify_colors,
     verify_tau,
     verify_color_weight,
+    icp_seeds=1,
+    seed_step_deg=18.0,
 ):
     rb = RefineBank(*rb_arrays, win=rb_win)
     return detect_refine_core(
         rgb, depth, kernels, nfeats, whs, cfg, threshold, feats, valids,
         rb, icp, K, max_refine, verify_pts, verify_colors, verify_tau,
-        verify_color_weight,
+        verify_color_weight, icp_seeds, seed_step_deg,
     )
 
 
@@ -472,7 +509,11 @@ def detect_refine_multiclass_core(
         color_weight=verify_color_weight,
     )
 
+    # Mask BOTH rankable outputs for inactive (padded/below-threshold)
+    # hypotheses: a consumer ranking on ``verify`` alone must never pick a
+    # garbage pose, independent of whether it also checks ``active``.
     fits = jnp.where(act_e, fits, -1.0)
+    vscore = jnp.where(act_e, vscore, -1.0)
     if s_n > 1:
         # Reduce each hypothesis to its best seed: verify-ranked with the
         # fitness as tiebreaker (and as the rank when verify is disabled).
@@ -672,11 +713,15 @@ class FusedPipeline:
         verify_colors: Optional[np.ndarray] = None,
         verify_tau: float = 15.0,
         verify_color_weight: float = 0.5,
+        icp_seeds: int = 1,
+        seed_step_deg: float = 18.0,
     ):
         self.det = detector
         self.class_id = class_id
         self.icp = icp or IcpConfig()
         self.max_refine = max_refine
+        self.icp_seeds = int(icp_seeds)
+        self.seed_step_deg = float(seed_step_deg)
         self.K = jnp.asarray(np.asarray(K, np.float32))
         self.rb = build_refine_bank(detector, class_id, num_points)
         if self.rb is None:
@@ -725,4 +770,6 @@ class FusedPipeline:
             self.verify_colors,
             self.verify_tau,
             self.verify_color_weight,
+            self.icp_seeds,
+            self.seed_step_deg,
         )

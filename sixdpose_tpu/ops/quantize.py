@@ -159,14 +159,31 @@ def fast_atan2_deg(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return a
 
 
-@functools.partial(jax.jit, static_argnames=("weak_threshold",))
-def quantize_color_gradient(rgb: jnp.ndarray, weak_threshold: float = 10.0):
+def exact_atan2_deg(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """IEEE atan2 in degrees [0, 360) — the ``phase="exact"`` variant."""
+    a = jnp.degrees(jnp.arctan2(y.astype(jnp.float32), x.astype(jnp.float32)))
+    return jnp.where(a < 0, a + 360.0, a)
+
+
+@functools.partial(jax.jit, static_argnames=("weak_threshold", "phase"))
+def quantize_color_gradient(
+    rgb: jnp.ndarray, weak_threshold: float = 10.0, phase: str = "cv"
+):
     """Quantize RGB gradients to 8 orientation bits.
 
     Args:
       rgb: (H, W, 3) uint8 image.
       weak_threshold: magnitude gate (compared squared, reference
         quantizedOrientations cpp:423 ``threshold * threshold``).
+      phase: ``"cv"`` (default) uses OpenCV's fastAtan2 polynomial —
+        bit-exact with the reference matcher (cv::phase, cpp:423).
+        ``"exact"`` uses IEEE atan2: strictly more accurate orientations
+        for consumers whose spec is NOT the OpenCV pipeline.  cxxLCHF
+        re-implements its own quantization (lchf.cpp:59-522), so LCHF
+        features use "exact" — the ~0.3 deg fastAtan2 error flips bins
+        near 11.25-deg boundaries on smooth renders, which measurably
+        destabilizes forest routing (round-3 regression: LCHF recall
+        1.0 -> 0.0 from exactly this flip; see tests/test_lchf.py).
 
     Returns:
       quantized: (H, W) uint8, one-hot orientation byte (0 = no gradient).
@@ -191,7 +208,10 @@ def quantize_color_gradient(rgb: jnp.ndarray, weak_threshold: float = 10.0):
 
     # Orientation in degrees [0, 360) via the reference's own phase
     # function (cv::phase = fastAtan2 polynomial), 16 bins folded to 8.
-    ang = fast_atan2_deg(best_dy, best_dx)
+    if phase == "exact":
+        ang = exact_atan2_deg(best_dy, best_dx)
+    else:
+        ang = fast_atan2_deg(best_dy, best_dx)
     # cv convertTo rounds to nearest-even; [348.75, 360) rounds to 16 -> &15 = 0.
     bins16 = jnp.round(ang * jnp.float32(16.0 / 360.0)).astype(jnp.int32) & 15
     bins8 = bins16 & 7

@@ -198,6 +198,7 @@ class PoseEstimationService:
                     verify_colors=vc,
                     verify_tau=self.verify_tau,
                     verify_color_weight=self.verify_color_weight,
+                    icp_seeds=self.icp_seeds,
                 )
             except (ValueError, KeyError):
                 self._fused[class_id] = None
@@ -322,6 +323,19 @@ class PoseEstimationService:
             fused = self.process_frame_fused(rgb, depth)
             if fused is not None:
                 return fused
+        if self.icp_seeds > 1 and not getattr(self, "_warned_seeds", False):
+            # The host-orchestrated fallback has no in-plane seed fan; say
+            # so once rather than silently degrading A/B comparisons.
+            import warnings
+
+            warnings.warn(
+                f"icp_seeds={self.icp_seeds} requested but the "
+                "host-orchestrated path refines single-seed; use the fused "
+                "path (prefer_fused=True, banks with train-time clouds) "
+                "for the seed fan.",
+                stacklevel=2,
+            )
+            self._warned_seeds = True
         with self.metrics.timer("match"):
             if ms is not None:
                 matches = []

