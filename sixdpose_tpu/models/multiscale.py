@@ -56,6 +56,53 @@ class ScaleMatch(Match):
     scale: float = 1.0
 
 
+def _refine_scaled_candidates(
+    pyramid, feats, valids, whs, cfg, threshold, tmpl_idx, x, y, score,
+    cand_scale,
+):
+    """Coarse-to-fine local refinement of flat candidate arrays with
+    per-candidate scaled features (shared by the single- and multi-class
+    multiscale cores)."""
+    levels = cfg.pyramid_levels
+    for l in range(levels - 2, -1, -1):
+        t = cfg.t_at_level[l]
+        border = 8 * t
+        h_l, w_l = pyramid[l].shape[1:]
+        wh_l = jnp.round(
+            whs[l][tmpl_idx].astype(jnp.float32) * cand_scale[:, None]
+        ).astype(jnp.int32)
+        x = x * 2 + 1
+        y = y * 2 + 1
+        x = jnp.maximum(x, border)
+        y = jnp.maximum(y, border)
+        x = jnp.minimum(x, w_l - wh_l[:, 0] - border)
+        y = jnp.minimum(y, h_l - wh_l[:, 1] - border)
+        og_x = jnp.maximum(x // t - 8, 0)
+        og_y = jnp.maximum(y // t - 8, 0)
+        origins = jnp.stack([og_y * t, og_x * t], axis=1)
+
+        raw_local, nf_sel = similarity_local_sparse_auto(
+            pyramid[l],
+            feats[l][tmpl_idx],
+            valids[l][tmpl_idx],
+            origins,
+            t,
+            scale=cand_scale,
+            active=score >= 0,
+        )
+        local_scores = score_normalize(raw_local, jnp.maximum(nf_sel, 1))
+        flat = local_scores.reshape(local_scores.shape[0], -1)
+        best = jnp.argmax(flat, axis=1)
+        best_r = best // 16
+        best_c = best % 16
+        new_score = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+        x = (og_x + best_c) * t + _offset(t)
+        y = (og_y + best_r) * t + _offset(t)
+        score = jnp.where(score >= 0, new_score, -1.0)
+        score = jnp.where(score > threshold, score, -1.0)
+    return x, y, score
+
+
 def multiscale_detect_core(
     rgb,
     depth,
@@ -139,43 +186,10 @@ def multiscale_detect_core(
     tmpl_idx = tid % n
     cand_scale = scales[scale_idx]
 
-    # --- refinement down the pyramid with per-candidate scaled kernels ---
-    for l in range(levels - 2, -1, -1):
-        t = cfg.t_at_level[l]
-        border = 8 * t
-        h_l, w_l = pyramid[l].shape[1:]
-        wh_l = jnp.round(
-            whs[l][tmpl_idx].astype(jnp.float32) * cand_scale[:, None]
-        ).astype(jnp.int32)
-        x = x * 2 + 1
-        y = y * 2 + 1
-        x = jnp.maximum(x, border)
-        y = jnp.maximum(y, border)
-        x = jnp.minimum(x, w_l - wh_l[:, 0] - border)
-        y = jnp.minimum(y, h_l - wh_l[:, 1] - border)
-        og_x = jnp.maximum(x // t - 8, 0)
-        og_y = jnp.maximum(y // t - 8, 0)
-        origins = jnp.stack([og_y * t, og_x * t], axis=1)
-
-        raw_local, nf_sel = similarity_local_sparse_auto(
-            pyramid[l],
-            feats[l][tmpl_idx],
-            valids[l][tmpl_idx],
-            origins,
-            t,
-            scale=cand_scale,
-            active=score >= 0,
-        )
-        local_scores = score_normalize(raw_local, jnp.maximum(nf_sel, 1))
-        flat = local_scores.reshape(local_scores.shape[0], -1)
-        best = jnp.argmax(flat, axis=1)
-        best_r = best // 16
-        best_c = best % 16
-        new_score = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
-        x = (og_x + best_c) * t + _offset(t)
-        y = (og_y + best_r) * t + _offset(t)
-        score = jnp.where(score >= 0, new_score, -1.0)
-        score = jnp.where(score > threshold, score, -1.0)
+    x, y, score = _refine_scaled_candidates(
+        pyramid, feats, valids, whs, cfg, threshold, tmpl_idx, x, y, score,
+        cand_scale,
+    )
 
     order = jnp.argsort(-score)
     tmpl_idx, scale_idx, x, y, score, cand_scale = (
@@ -381,3 +395,307 @@ class MultiScaleDetector:
                 )
         out.sort(key=lambda m: -m.similarity)
         return out
+
+
+# ---------------------------------------------------------------------------
+# One-dispatch multiscale x multiclass
+# ---------------------------------------------------------------------------
+
+
+def multiscale_multiclass_core(
+    rgb,
+    depth,
+    feats,           # per level (N_total, F, 3) int32 — all classes concat
+    valids,          # per level (N_total, F) bool
+    whs,             # per level (N_total, 2) int32
+    pad_map,         # (C, Nmax) int32 global template ids, -1 = pad
+    cls_kb,          # (C, 2) int32 per-class coarse (khb, kwb) block dims
+    bin_scales,
+    cfg: DetectorConfig,
+    threshold,
+    num_scales: int,
+    kdims: Tuple[Tuple[int, int], ...],
+    top_k: int,
+    apply_nms: bool = True,
+    w_bins: Optional[jnp.ndarray] = None,
+    nf_bins: Optional[jnp.ndarray] = None,
+):
+    """Traceable multiscale detection over EVERY class in one program.
+
+    The reference scores all classes inside one ``match()`` call
+    (linemodLevelup.cpp:1753-1769) and handles scale by loading separate
+    per-radius template files (test.cpp:116,178).  Here the whole
+    (class x scale x template) sweep is ONE coarse matmul stack over the
+    concatenated superbank, candidates are selected per class inside the
+    dispatch, all C*K candidates refine together, and per-class NMS runs
+    vmapped — one dispatch, one readback for any number of classes at any
+    number of proposed depths.
+
+    Returns (tid_local, x, y, score, keep, depth_mm, scale): (C, K) arrays;
+    tid_local is the within-class template index.
+    """
+    levels = cfg.pyramid_levels
+    coarse = levels - 1
+    t_c = cfg.t_at_level[coarse]
+    n = feats[0].shape[0]
+    s = num_scales
+    c_n, nmax = pad_map.shape
+
+    pyramid = _build_response_pyramid_jax(rgb, depth, cfg)
+    bin_idx, depths, counts = propose_depth_bins(depth, num_scales=s)
+    valid_scale = counts > 0
+    scales = jnp.where(valid_scale, bin_scales[bin_idx], 0.0)
+
+    kh_c, kw_c = kdims[coarse]
+    khb, kwb = -(-kh_c // t_c), -(-kw_c // t_c)
+    # The shift-sum grid only covers anchors where the GLOBAL (max over
+    # classes) kernel window fits; a class with a smaller template would
+    # lose its border anchors.  Zero-pad the coarse maps bottom/right so
+    # EVERY block is an anchor (zero responses contribute nothing), then
+    # mask each class back to its OWN per-class anchor range below —
+    # exact per-class-detector coverage from one global sweep.
+    maps_c = jnp.pad(
+        pyramid[coarse],
+        ((0, 0), (0, (khb - 1) * t_c), (0, (kwb - 1) * t_c)),
+    )
+    if w_bins is not None:
+        w_sel = jnp.concatenate(
+            [
+                jax.lax.dynamic_index_in_dim(w_bins, bin_idx[i], 0, keepdims=False)
+                for i in range(s)
+            ],
+            axis=1,
+        )  # (khb*kwb, S*N, C*t*t)
+        nfeat_c = jnp.where(
+            jnp.repeat(valid_scale, n),
+            nf_bins[bin_idx].reshape(s * n),
+            0,
+        ).astype(jnp.int32)
+        raw = matmul_shift_sum(maps_c, w_sel, t_c, khb, kwb)
+    else:
+        raw, nfeat_c = similarity_multiscale_matmul(
+            maps_c, feats[coarse], valids[coarse], scales, t_c,
+            kh_c, kw_c,
+        )
+    scores = score_normalize(raw, jnp.maximum(nfeat_c, 1))  # (S*N, Hb, Wb)
+    ok = (nfeat_c > 0) & jnp.repeat(valid_scale, n)
+    scores = jnp.where(ok[:, None, None], scores, -1.0)
+
+    # --- per-class (scale x template) candidate selection ----------------
+    # Gather each class's rows across every scale: (C, S*Nmax, Hb, Wb)
+    # scratch — the same padded-index-map trick as the single-scale
+    # multiclass core (models/multiclass.py).
+    pm = jnp.maximum(pad_map, 0)                       # (C, Nmax)
+    ids = (
+        jnp.arange(s, dtype=jnp.int32)[None, :, None] * n + pm[:, None, :]
+    ).reshape(c_n, s * nmax)
+    cls_scores = scores[ids]                           # (C, S*Nmax, Hb, Wb)
+    pad_ok = jnp.tile(pad_map >= 0, (1, s)).reshape(c_n, s * nmax)
+    cls_scores = jnp.where(pad_ok[:, :, None, None], cls_scores, -1.0)
+    # Per-class anchor-range mask (see the padding note above): class c
+    # keeps anchors yi < Hb - khb_c + 1, xi < Wb - kwb_c + 1 where
+    # Hb/Wb are the ORIGINAL (unpadded) block counts.
+    hb0 = -(-pyramid[coarse].shape[1] // t_c)
+    wb0 = -(-pyramid[coarse].shape[2] // t_c)
+    yi_g = jnp.arange(cls_scores.shape[2])[None, None, :, None]
+    xi_g = jnp.arange(cls_scores.shape[3])[None, None, None, :]
+    in_range = (
+        (yi_g <= hb0 - cls_kb[:, 0][:, None, None, None])
+        & (xi_g <= wb0 - cls_kb[:, 1][:, None, None, None])
+    )
+    cls_scores = jnp.where(in_range, cls_scores, -1.0)
+
+    tid_sc, yi, xi, score = jax.vmap(
+        lambda sc: topk_candidates(sc, threshold, top_k)
+    )(cls_scores)                                      # (C, K) each
+    x = xi * t_c + _offset(t_c)
+    y = yi * t_c + _offset(t_c)
+
+    scale_idx = tid_sc // nmax                         # (C, K) depth bin slot
+    tid_local = tid_sc % nmax                          # within-class template
+    gid = jnp.take_along_axis(pm, tid_local, axis=1)   # global template id
+    cand_scale = scales[scale_idx]
+
+    # --- joint refinement of all C*K candidates --------------------------
+    flat = lambda a: a.reshape(c_n * top_k, *a.shape[2:])
+    xf, yf, scf = _refine_scaled_candidates(
+        pyramid, feats, valids, whs, cfg, threshold,
+        flat(gid), flat(x), flat(y), flat(score), flat(cand_scale),
+    )
+    unflat = lambda a: a.reshape(c_n, top_k, *a.shape[1:])
+    x, y, score = unflat(xf), unflat(yf), unflat(scf)
+
+    # --- per-class sort + NMS --------------------------------------------
+    order = jnp.argsort(-score, axis=1)
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    tid_local, scale_idx, x, y, score, cand_scale = (
+        take(tid_local), take(scale_idx), take(x), take(y), take(score),
+        take(cand_scale),
+    )
+    gid = jnp.take_along_axis(pm, tid_local, axis=1)
+    wh0 = jnp.round(
+        whs[0][gid].astype(jnp.float32) * cand_scale[..., None]
+    ).astype(jnp.float32)
+    if apply_nms:
+        boxes = jnp.concatenate(
+            [x[..., None].astype(jnp.float32),
+             y[..., None].astype(jnp.float32), wh0], axis=-1,
+        )
+        keep = jax.vmap(nms_boxes, in_axes=(0, 0, None))(
+            boxes, score, cfg.nms_iou
+        )
+    else:
+        keep = score >= 0
+    return tid_local, x, y, score, keep, depths[scale_idx], cand_scale
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_scales", "kdims", "top_k"),
+)
+def _multiscale_multiclass(
+    rgb, depth, feats, valids, whs, pad_map, cls_kb, bin_scales, cfg,
+    threshold, num_scales, kdims, top_k, w_bins=None, nf_bins=None,
+):
+    return multiscale_multiclass_core(
+        rgb, depth, feats, valids, whs, pad_map, cls_kb, bin_scales, cfg,
+        threshold, num_scales, kdims, top_k, w_bins=w_bins, nf_bins=nf_bins,
+    )
+
+
+class MultiScaleMultiClass:
+    """One-dispatch multiscale matching over every class of a bank.
+
+    Concatenates per-class feature arrays into a padded superbank (like
+    models/multiclass.py MultiClassMatcher) and prebuilds ONE global
+    per-depth-bin weight table when it fits ``table_budget_bytes``
+    (otherwise the coarse sweep scatter-builds weights on device,
+    memory-lean but slower per frame).
+    """
+
+    def __init__(
+        self,
+        detector: Detector,
+        train_depth: float,
+        class_ids: Optional[List[str]] = None,
+        num_scales: int = 5,
+        bin_mm: int = 100,
+        lo_mm: int = 400,
+        hi_mm: int = 2000,
+        table_budget_bytes: int = 2 << 30,
+    ):
+        self.det = detector
+        self.cfg = detector.cfg
+        self.class_ids = list(class_ids or detector.class_ids())
+        self.train_depth = float(train_depth)
+        self.num_scales = num_scales
+        centers = bin_centers(bin_mm, lo_mm, hi_mm)
+        self.bin_scales_np = (train_depth / centers).astype(np.float32)
+        self.max_scale = float(self.bin_scales_np.max())
+        self._build(table_budget_bytes)
+
+    def _build(self, table_budget_bytes: int) -> None:
+        levels = self.cfg.pyramid_levels
+        per_class = [self.det.bank.templates[c] for c in self.class_ids]
+        counts = [len(t) for t in per_class]
+        nmax = max(counts)
+        c_n = len(per_class)
+
+        feats_np, valids_np, whs_np, kdims = [], [], [], []
+        for l in range(levels):
+            fmax = max(
+                len(t[l].features) for tmpls in per_class for t in tmpls
+            )
+            fa, va, wh = [], [], []
+            for tmpls in per_class:
+                for t in tmpls:
+                    f = np.asarray(t[l].features)
+                    fa.append(np.pad(f, ((0, fmax - len(f)), (0, 0))))
+                    va.append(
+                        np.concatenate(
+                            [np.ones(len(f), bool),
+                             np.zeros(fmax - len(f), bool)]
+                        )
+                    )
+                    wh.append((t[l].width, t[l].height))
+            feats_np.append(np.asarray(fa, np.int32))
+            valids_np.append(np.asarray(va))
+            whs_np.append(np.asarray(wh, np.int32))
+            kh = int(np.ceil((whs_np[l][:, 1].max() + 1) * self.max_scale))
+            kw = int(np.ceil((whs_np[l][:, 0].max() + 1) * self.max_scale))
+            kdims.append((kh, kw))
+
+        pad_map = np.full((c_n, nmax), -1, np.int32)
+        start = 0
+        for ci, cnt in enumerate(counts):
+            pad_map[ci, :cnt] = np.arange(start, start + cnt)
+            start += cnt
+
+        coarse = levels - 1
+        t_c = self.cfg.t_at_level[coarse]
+        # Per-class coarse anchor ranges: each class's own max template
+        # extent at max scale, in t-blocks (the per-class detector's grid).
+        cls_kb = np.zeros((c_n, 2), np.int32)
+        start = 0
+        for ci, cnt in enumerate(counts):
+            wh_c = whs_np[coarse][start : start + cnt]
+            kh_c_cls = int(np.ceil((wh_c[:, 1].max() + 1) * self.max_scale))
+            kw_c_cls = int(np.ceil((wh_c[:, 0].max() + 1) * self.max_scale))
+            cls_kb[ci] = (-(-kh_c_cls // t_c), -(-kw_c_cls // t_c))
+            start += cnt
+        self.cls_kb = jnp.asarray(cls_kb)
+        kh_c, kw_c = kdims[coarse]
+        c = 8 * self.cfg.num_modalities
+        khb, kwb = -(-kh_c // t_c), -(-kw_c // t_c)
+        nb = len(self.bin_scales_np)
+        n_total = feats_np[coarse].shape[0]
+        table_bytes = nb * khb * kwb * n_total * c * t_c * t_c + nb * n_total * 4
+        self.w_bins = self.nf_bins = None
+        if table_bytes <= table_budget_bytes:
+            w_np, nf_np = multiscale_weights_host(
+                feats_np[coarse], valids_np[coarse], self.bin_scales_np,
+                t_c, kh_c, kw_c, c,
+            )
+            self.w_bins = jnp.asarray(w_np)
+            self.nf_bins = jnp.asarray(nf_np)
+
+        self.feats = tuple(jnp.asarray(a) for a in feats_np)
+        self.valids = tuple(jnp.asarray(a) for a in valids_np)
+        self.whs = tuple(jnp.asarray(a) for a in whs_np)
+        self.pad_map = jnp.asarray(pad_map)
+        self.bin_scales = jnp.asarray(self.bin_scales_np)
+        self.kdims = tuple(kdims)
+        self.table_bytes = int(table_bytes)
+
+    def match_arrays(self, rgb, depth, threshold: float):
+        """(C, K) device arrays (tid_local, x, y, score, keep, depth_mm,
+        scale) ordered like ``class_ids`` — ONE dispatch, no readback."""
+        return _multiscale_multiclass(
+            jnp.asarray(rgb) if rgb is not None else None,
+            jnp.asarray(depth),
+            self.feats, self.valids, self.whs, self.pad_map, self.cls_kb,
+            self.bin_scales, self.cfg, jnp.float32(threshold),
+            self.num_scales, self.kdims, self.cfg.top_k,
+            w_bins=self.w_bins, nf_bins=self.nf_bins,
+        )
+
+    def match(self, rgb, depth, threshold: float) -> List[ScaleMatch]:
+        out = jax.device_get(self.match_arrays(rgb, depth, threshold))
+        tid, x, y, score, keep, depths, scales = out
+        res: List[ScaleMatch] = []
+        for ci, cid in enumerate(self.class_ids):
+            for i in range(tid.shape[1]):
+                if keep[ci, i] and score[ci, i] >= 0:
+                    res.append(
+                        ScaleMatch(
+                            x=int(x[ci, i]),
+                            y=int(y[ci, i]),
+                            similarity=float(score[ci, i]),
+                            class_id=cid,
+                            template_id=int(tid[ci, i]),
+                            depth_mm=float(depths[ci, i]),
+                            scale=float(scales[ci, i]),
+                        )
+                    )
+        res.sort(key=lambda m: -m.similarity)
+        return res

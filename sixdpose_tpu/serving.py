@@ -172,12 +172,26 @@ class PoseEstimationService:
         """Switch detection to the depth-histogram multi-scale matcher
         (models/multiscale.py) over the same bank: templates trained at
         ``train_depth`` mm match at histogram-proposed scene depths.  The
-        per-match ``scale`` rescales the ICP seed bbox."""
-        from sixdpose_tpu.models.multiscale import MultiScaleDetector
+        per-match ``scale`` rescales the ICP seed bbox.
 
-        self._multiscale = MultiScaleDetector(
-            self.det, train_depth, num_scales=num_scales, **kwargs
+        Multi-class banks get the ONE-dispatch multiscale x multiclass
+        program (every class x scale x template scored in one XLA
+        program, per-class candidate selection + NMS inside the dispatch
+        — the reference's one-call contract, linemodLevelup.cpp:
+        1753-1769); single-class banks keep the per-class matcher."""
+        from sixdpose_tpu.models.multiscale import (
+            MultiScaleDetector,
+            MultiScaleMultiClass,
         )
+
+        if len(self.det.class_ids()) > 1:
+            self._multiscale = MultiScaleMultiClass(
+                self.det, train_depth, num_scales=num_scales, **kwargs
+            )
+        else:
+            self._multiscale = MultiScaleDetector(
+                self.det, train_depth, num_scales=num_scales, **kwargs
+            )
 
     def _fused_pipeline(self, class_id: str):
         """Build (or fetch) the fused one-dispatch pipeline for a class;
@@ -338,10 +352,15 @@ class PoseEstimationService:
             self._warned_seeds = True
         with self.metrics.timer("match"):
             if ms is not None:
-                matches = []
-                for cid in self.det.class_ids():
-                    matches.extend(ms.match(rgb, depth, self.threshold, cid))
-                matches.sort(key=lambda m: -m.similarity)
+                if hasattr(ms, "class_ids"):  # one-dispatch multi-class
+                    matches = ms.match(rgb, depth, self.threshold)
+                else:
+                    matches = []
+                    for cid in self.det.class_ids():
+                        matches.extend(
+                            ms.match(rgb, depth, self.threshold, cid)
+                        )
+                    matches.sort(key=lambda m: -m.similarity)
             else:
                 matches = self.det.match(rgb, depth, self.threshold)
         self.metrics.count("frames")
