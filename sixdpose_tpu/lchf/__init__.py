@@ -25,11 +25,18 @@ from sixdpose_tpu.lchf.model import (
 )
 from sixdpose_tpu.lchf.voting import (
     accumulate_votes,
+    assemble_votes,
     dense_rois,
     hough_vote,
     leaf_mode_map,
 )
 from sixdpose_tpu.lchf.eval import evaluate_recall
+from sixdpose_tpu.lchf.pose import (
+    decode_bin_poses,
+    evaluate_pose_recall,
+    lchf_pose_hypotheses,
+    refine_lchf_poses,
+)
 
 __all__ = [
     "LchfConfig",
@@ -50,8 +57,13 @@ __all__ = [
     "scene_roi_set",
     "predict_scene",
     "accumulate_votes",
+    "assemble_votes",
     "dense_rois",
     "hough_vote",
     "leaf_mode_map",
     "evaluate_recall",
+    "decode_bin_poses",
+    "lchf_pose_hypotheses",
+    "refine_lchf_poses",
+    "evaluate_pose_recall",
 ]

@@ -113,6 +113,56 @@ def leaf_mode_map(model, bandwidth: float = 1.0):
     return out
 
 
+def assemble_votes(
+    leaf_per_tree_per_roi: Sequence[Sequence[int]],
+    leaf_map,
+    rois: np.ndarray,
+    infos_rpy: np.ndarray,
+    infos_t: np.ndarray,
+    leaf_modes=None,
+):
+    """Expand (roi, tree) leaf predictions into flat vote arrays
+    (roi_xy (V, 2), roi_depth (V,), offsets (V, 3), rpys (V, 3),
+    weights (V,)) — the shared front half of voting and pose decoding."""
+    roi_xy, roi_d, off, rpy, wgt = [], [], [], [], []
+    num_trees = len(leaf_map)
+    for ri, leaves in enumerate(leaf_per_tree_per_roi):
+        for ti, leaf in enumerate(leaves):
+            if leaf_modes is not None:
+                entry = leaf_modes[ti].get(int(leaf))
+                if entry is None:
+                    continue
+                rpy_m, t_m, wm = entry
+                for ci in range(len(wm)):
+                    roi_xy.append(rois[ri, :2])
+                    roi_d.append(rois[ri, 4])
+                    off.append(t_m[ci])
+                    rpy.append(rpy_m[ci])
+                    wgt.append(wm[ci] / num_trees)
+                continue
+            ids = leaf_map[ti].get(int(leaf))
+            if ids is None or len(ids) == 0:
+                continue
+            wv = 1.0 / len(ids) / num_trees
+            for sid in np.asarray(ids):
+                roi_xy.append(rois[ri, :2])
+                roi_d.append(rois[ri, 4])
+                off.append(infos_t[sid])
+                rpy.append(infos_rpy[sid])
+                wgt.append(wv)
+    if not roi_xy:
+        z = np.zeros
+        return (z((0, 2)), z((0,)), z((0, 3), np.float32),
+                z((0, 3), np.float32), z((0,), np.float32))
+    return (
+        np.array(roi_xy),
+        np.array(roi_d),
+        np.array(off, np.float32),
+        np.array(rpy, np.float32),
+        np.array(wgt, np.float32),
+    )
+
+
 def hough_vote(
     leaf_per_tree_per_roi: Sequence[Sequence[int]],
     leaf_map,
@@ -142,42 +192,19 @@ def hough_vote(
     w, h = im_size
     vote_shape = (w // steps, h // steps, num_angle_bins, num_angle_bins, num_angle_bins)
 
-    roi_xy, roi_d, off, rpy, wgt = [], [], [], [], []
-    num_trees = len(leaf_map)
-    for ri, leaves in enumerate(leaf_per_tree_per_roi):
-        for ti, leaf in enumerate(leaves):
-            if leaf_modes is not None:
-                entry = leaf_modes[ti].get(int(leaf))
-                if entry is None:
-                    continue
-                rpy_m, t_m, wm = entry
-                for ci in range(len(wm)):
-                    roi_xy.append(rois[ri, :2])
-                    roi_d.append(rois[ri, 4])
-                    off.append(t_m[ci])
-                    rpy.append(rpy_m[ci])
-                    wgt.append(wm[ci] / num_trees)
-                continue
-            ids = leaf_map[ti].get(int(leaf))
-            if ids is None or len(ids) == 0:
-                continue
-            wv = 1.0 / len(ids) / num_trees
-            for sid in np.asarray(ids):
-                roi_xy.append(rois[ri, :2])
-                roi_d.append(rois[ri, 4])
-                off.append(infos_t[sid])
-                rpy.append(infos_rpy[sid])
-                wgt.append(wv)
-    if not roi_xy:
+    roi_xy, roi_d, off, rpy, wgt = assemble_votes(
+        leaf_per_tree_per_roi, leaf_map, rois, infos_rpy, infos_t, leaf_modes
+    )
+    if len(roi_xy) == 0:
         empty = np.zeros(vote_shape, np.float32)
         return np.zeros((0, 5), np.int64), np.zeros(0, np.float32), empty
 
     votes = accumulate_votes(
-        jnp.asarray(np.array(roi_xy)),
-        jnp.asarray(np.array(roi_d)),
-        jnp.asarray(np.array(off, np.float32)),
-        jnp.asarray(np.array(rpy, np.float32)),
-        jnp.asarray(np.array(wgt, np.float32)),
+        jnp.asarray(roi_xy),
+        jnp.asarray(roi_d),
+        jnp.asarray(off),
+        jnp.asarray(rpy),
+        jnp.asarray(wgt),
         float(train_radius),
         vote_shape,
         steps,

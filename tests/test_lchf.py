@@ -432,3 +432,56 @@ def test_evaluate_recall_synthetic():
         cfg=cfg, stride=8, top_k=5, tol_px=30.0, leaf_modes=True, device=False,
     )
     assert res_m["leaf_modes"] and res_m["n_views"] == 2
+
+
+@pytest.mark.slow
+def test_lchf_6d_pose_recall():
+    """LCHF all the way to a 6D pose: vote bins decode to (R, t), batched
+    ICP refines them, and in-sample ADD-S recall at 0.1*diameter must be
+    positive — the row the reference never produced (its driver stops at
+    top-10 vote bins, LCHF_test.py:343-405)."""
+    from sixdpose_tpu.benchmark import make_models
+    from sixdpose_tpu.geometry.render import render
+    from sixdpose_tpu.geometry.view_sampler import sample_views
+    from sixdpose_tpu.lchf.pose import (
+        evaluate_pose_recall,
+        lchf_pose_hypotheses,
+    )
+    from sixdpose_tpu.lchf.model import make_training_patches
+    from sixdpose_tpu.lchf.model import train_forest as tf
+
+    K = np.array([[200.0, 0, 80.0], [0, 200.0, 60.0], [0, 0, 1]])
+    mesh = make_models()["box"]
+    views, _ = sample_views(8, radius=420.0)
+    cfg = LchfConfig(num_features=6, extract_threshold=1, strong_threshold=30.0)
+    feats, rpys, ts = [], [], []
+    for v in views:
+        rgb, depth = render(mesh, (160, 120), K, v["R"], v["t"], mode="rgb+depth")
+        rgb, depth = np.asarray(rgb), np.asarray(depth).astype(np.uint16)
+        mask = (depth > 0).astype(np.uint8) * 255
+        p, r, t = make_training_patches(rgb, depth, mask, v["R"], cfg, patch=40, stride=12)
+        feats.extend(p); rpys.extend(r); ts.extend(t)
+    model_l = tf(feats, np.array(rpys), np.array(ts), cfg,
+                 num_trees=2, size_thresh=2, seed=1)
+
+    # Hypotheses decode with sane geometry on one view.
+    v0 = views[0]
+    rgb, depth = render(mesh, (160, 120), K, v0["R"], v0["t"], mode="rgb+depth")
+    hyps = lchf_pose_hypotheses(
+        model_l, np.asarray(rgb), np.asarray(depth).astype(np.uint16), K,
+        train_radius=420.0, cfg=cfg, stride=8, top_k=5,
+    )
+    assert hyps, "no pose hypotheses decoded"
+    for h in hyps:
+        assert h["R"].shape == (3, 3) and h["t"].shape == (3,)
+        # Orthonormal rotation, translation in front of the camera.
+        np.testing.assert_allclose(h["R"] @ h["R"].T, np.eye(3), atol=1e-6)
+        assert 100.0 < h["t"][2] < 2000.0, h["t"]
+
+    res = evaluate_pose_recall(
+        model_l, mesh, K, (160, 120), views[:3], train_radius=420.0,
+        cfg=cfg, stride=8, top_k=5, device=False,
+    )
+    assert res["n_views"] == 3
+    assert res["recall"] >= 1 / 3, res  # in-sample: ICP from vote seeds
+    assert res["threshold_mm"] > 0

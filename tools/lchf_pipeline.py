@@ -136,15 +136,57 @@ def evaluate(args) -> int:
     return 0
 
 
+def pose_eval(args) -> int:
+    """LCHF all the way to 6D poses + batched ICP, scored ADD-S@0.1d
+    (lchf/pose.py) — the accuracy row the reference never produced (its
+    driver stops at top-10 vote bins, LCHF_test.py:343-405)."""
+    from sixdpose_tpu.geometry.view_sampler import sample_views
+    from sixdpose_tpu.lchf.feature import LchfConfig
+    from sixdpose_tpu.lchf.model import LchfModel
+    from sixdpose_tpu.lchf.pose import evaluate_pose_recall
+
+    cfg = LchfConfig()
+    model_l = LchfModel.load(args.out)
+    K, model, _ = build_demo_assets(2, args.seed)
+    test_views, _ = sample_views(args.eval_views, radius=500.0)
+
+    t0 = time.time()
+    r = evaluate_pose_recall(
+        model_l, model, K, (320, 240), test_views, train_radius=500.0,
+        cfg=cfg, stride=args.stride, top_k=args.top_k,
+    )
+    record = {
+        "recall_add_s": round(r["recall"], 3),
+        "n_views": r["n_views"],
+        "diameter_mm": round(r["diameter_mm"], 1),
+        "threshold_mm": round(r["threshold_mm"], 2),
+        "metric": r["metric"],
+        "time_s": round(time.time() - t0, 1),
+        "records": r["records"],
+    }
+    print(json.dumps(record))
+    if args.artifact:
+        from sixdpose_tpu.utils.artifacts import write_artifact
+
+        write_artifact(args.artifact, record, config=vars(args))
+        print(f"wrote {args.artifact}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["render_train", "test", "demo", "eval"])
+    ap.add_argument(
+        "mode",
+        choices=["render_train", "test", "demo", "eval", "pose_eval"],
+    )
     ap.add_argument("--out", default="/tmp/lchf_model")
     ap.add_argument("--views", type=int, default=20)
     ap.add_argument("--eval-views", type=int, default=12)
     ap.add_argument("--stride", type=int, default=10)
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--artifact", default=None,
+                    help="pose_eval: write the stamped JSON record here")
     args = ap.parse_args()
     if args.mode in ("render_train", "demo"):
         rc = render_train(args)
@@ -154,6 +196,8 @@ def main() -> int:
         return test(args)
     if args.mode == "eval":
         return evaluate(args)
+    if args.mode == "pose_eval":
+        return pose_eval(args)
     return 0
 
 
