@@ -360,8 +360,9 @@ def run_benchmark(
     max_hyps: int = 8,
     rank_key: str = "verify",
     scene_hook=None,
-    icp_seeds: int = 3,
+    icp_seeds: int = 4,
     verify_tau: float = 8.0,
+    seed_flip: bool = True,
 ) -> dict:
     """Train banks for all models, evaluate recall over cluttered scenes.
 
@@ -404,7 +405,7 @@ def run_benchmark(
         threshold=threshold, max_refine=max_hyps,
         icp=IcpConfig(max_iters=20), min_fitness=0.3,
         prefer_fused=prefer_fused, rank_key=rank_key,
-        icp_seeds=icp_seeds, verify_tau=verify_tau,
+        icp_seeds=icp_seeds, verify_tau=verify_tau, seed_flip=seed_flip,
     )
 
     targets = 0

@@ -193,6 +193,7 @@ def detect_refine_core(
     verify_color_weight: float = 0.5,
     icp_seeds: int = 1,
     seed_step_deg: float = 18.0,
+    seed_flip: bool = False,
 ):
     """Traceable fused frame: match + batched ICP + verify, no host trips.
 
@@ -209,15 +210,26 @@ def detect_refine_core(
     tid, x, y, score, keep = detect_frame_core(
         rgb, depth, kernels, nfeats, whs, cfg, threshold, True, feats, valids
     )
-    # Rank surviving matches and take the top max_refine (score is already
-    # sorted desc; push suppressed/invalid to the back).
-    rank = jnp.where(keep & (score >= 0), score, -jnp.inf)
-    order = jnp.argsort(-rank)[:max_refine]
+    # Top max_refine DISTINCT templates by raw score (NOT the box-NMS
+    # survivors) — see detect_refine_multiclass_core for the rationale:
+    # rival views at the same peak must survive to verification, which is
+    # what separates a near-symmetric object from its flip.
+    rank = jnp.where(score >= 0, score, -jnp.inf)
+    order0 = jnp.argsort(-rank)
+    tid_s = tid[order0]
+    rank_s = rank[order0]
+    k_n = tid_s.shape[0]
+    same = tid_s[:, None] == tid_s[None, :]
+    earlier = jnp.arange(k_n)[None, :] < jnp.arange(k_n)[:, None]
+    dup = jnp.any(same & earlier, axis=1)
+    rank2 = jnp.where(dup, -jnp.inf, rank_s)
+    order1 = jnp.argsort(-rank2)[:max_refine]
+    order = order0[order1]
     tid_r = tid[order]
     x_r = x[order]
     y_r = y[order]
     score_r = score[order]
-    active = jnp.isfinite(rank[order]) & (score_r >= 0)
+    active = jnp.isfinite(rank2[order1]) & (score_r >= 0)
 
     # --- candidate seeding: window median depth -> centroid shift -------
     init_T = _seed_candidates(
@@ -227,7 +239,7 @@ def detect_refine_core(
     # --- in-plane seed fan (R -> R*S candidates) -------------------------
     s_n = icp_seeds
     init_T = _inplane_seed_transforms(
-        init_T, rb.src_c[tid_r], s_n, seed_step_deg
+        init_T, rb.src_c[tid_r], s_n, seed_step_deg, seed_flip
     )
     rep = lambda a: jnp.repeat(a, s_n, axis=0) if s_n > 1 else a
     tid_e = rep(tid_r)
@@ -307,7 +319,7 @@ def detect_refine_core(
     jax.jit,
     static_argnames=(
         "cfg", "icp", "max_refine", "rb_win", "verify_tau",
-        "verify_color_weight", "icp_seeds", "seed_step_deg",
+        "verify_color_weight", "icp_seeds", "seed_step_deg", "seed_flip",
     ),
 )
 def _detect_refine_jit(
@@ -331,12 +343,13 @@ def _detect_refine_jit(
     verify_color_weight,
     icp_seeds=1,
     seed_step_deg=18.0,
+    seed_flip=False,
 ):
     rb = RefineBank(*rb_arrays, win=rb_win)
     return detect_refine_core(
         rgb, depth, kernels, nfeats, whs, cfg, threshold, feats, valids,
         rb, icp, K, max_refine, verify_pts, verify_colors, verify_tau,
-        verify_color_weight, icp_seeds, seed_step_deg,
+        verify_color_weight, icp_seeds, seed_step_deg, seed_flip,
     )
 
 
@@ -345,6 +358,7 @@ def _inplane_seed_transforms(
     src_c: jnp.ndarray,       # (K, 3) model-cloud centroids (m)
     seeds: int,
     step_deg: float = 18.0,
+    flip: bool = False,
 ) -> jnp.ndarray:
     """Expand each ICP seed into ``seeds`` in-plane rotations about the
     camera ray through the candidate's seeded centroid -> (K*seeds, 4, 4).
@@ -355,11 +369,27 @@ def _inplane_seed_transforms(
     Refining from a symmetric fan of in-plane perturbations and keeping
     the best-verified result recovers those targets for ~seeds x the ICP
     cost of one dispatch (ICP is a small slice of the frame budget).
+
+    ``flip=True`` replaces the last fan slot with a 180-deg in-plane seed:
+    near-180-symmetric silhouettes (a wedge and its flip, a T-bar, a box)
+    make template matching lock the WRONG half of the view sphere, and no
+    small fan recovers that — but the flipped-by-180 init of the wrong
+    view sits next to the true pose, ICP polishes it, and verification
+    (which sees the color/depth evidence the silhouette hides) picks it.
     """
     if seeds == 1:
         return init_T
-    offs = (jnp.arange(seeds, dtype=jnp.float32) - (seeds - 1) / 2.0)
-    angs = jnp.deg2rad(offs * step_deg)                    # (S,)
+    if flip and seeds >= 2:
+        offs = (
+            jnp.arange(seeds - 1, dtype=jnp.float32) - (seeds - 2) / 2.0
+        )
+        offs_deg = jnp.concatenate(
+            [offs * step_deg, jnp.array([180.0], jnp.float32)]
+        )
+    else:
+        offs = jnp.arange(seeds, dtype=jnp.float32) - (seeds - 1) / 2.0
+        offs_deg = offs * step_deg
+    angs = jnp.deg2rad(offs_deg)                           # (S,)
     c, s = jnp.cos(angs), jnp.sin(angs)
     zero = jnp.zeros_like(c)
     one = jnp.ones_like(c)
@@ -408,6 +438,7 @@ def detect_refine_multiclass_core(
     verify_color_weight: float = 0.5,
     icp_seeds: int = 1,
     seed_step_deg: float = 18.0,
+    seed_flip: bool = False,
 ):
     """Traceable fused multi-class frame: ONE program scores every class,
     refines the top ``max_refine`` hypotheses of EVERY class with batched
@@ -431,15 +462,39 @@ def detect_refine_multiclass_core(
         pyramid, kernels, nfeats, whs, feats, valids, pad_map,
         tuple(cfg.t_at_level), threshold, cfg.top_k, nmax, cfg.nms_iou,
     )
-    # Per-class hypothesis selection: top max_refine surviving matches.
-    rank = jnp.where(keep & (score >= 0), score, -jnp.inf)   # (C, K)
-    order = jnp.argsort(-rank, axis=1)[:, :max_refine]       # (C, R)
+    # Per-class hypothesis selection: top max_refine DISTINCT templates by
+    # raw score — deliberately NOT the box-NMS survivors.  Box NMS keeps
+    # one template per location, but near-symmetric objects (e.g. a wedge
+    # vs its 180-deg flip) score several VIEWS at the same peak within a
+    # few similarity points; suppressing them leaves only the loudest
+    # (possibly flipped) view in the pool and ICP then polishes the wrong
+    # basin.  Distinct-template selection keeps rival views alive through
+    # ICP so VERIFICATION picks the pose (measured on wedge scenes: the
+    # correct view verifies ~0.93 vs ~0.66 for the flip — whenever it is
+    # allowed into the pool).  Final spatial dedupe happens after verify
+    # (serving translation-space dedupe), preserving the one-result-per-
+    # object contract.
+    rank = jnp.where(score >= 0, score, -jnp.inf)            # (C, K)
+    order0 = jnp.argsort(-rank, axis=1)                      # (C, K)
+    take0 = lambda a: jnp.take_along_axis(a, order0, axis=1)
+    tid_s = take0(tid_l)
+    rank_s = take0(rank)
+    same = tid_s[:, :, None] == tid_s[:, None, :]            # (C, K, K)
+    k_n = same.shape[1]
+    earlier = jnp.arange(k_n)[None, :] < jnp.arange(k_n)[:, None]
+    dup = jnp.any(same & earlier[None], axis=2)              # (C, K)
+    rank2 = jnp.where(dup, -jnp.inf, rank_s)
+    order1 = jnp.argsort(-rank2, axis=1)[:, :max_refine]     # (C, R)
+    order = jnp.take_along_axis(order0, order1, axis=1)
     take = lambda a: jnp.take_along_axis(a, order, axis=1)
     tid_r = take(tid_l)
     x_r = take(x)
     y_r = take(y)
     score_r = take(score)
-    active = jnp.isfinite(take(rank)) & (score_r >= 0)       # (C, R)
+    active = (
+        jnp.isfinite(jnp.take_along_axis(rank2, order1, axis=1))
+        & (score_r >= 0)
+    )                                                        # (C, R)
     gid = jnp.take_along_axis(
         jnp.maximum(pad_map, 0), tid_r, axis=1
     )                                                         # (C, R)
@@ -457,7 +512,7 @@ def detect_refine_multiclass_core(
     # Seed fan: each candidate refines from icp_seeds in-plane rotations.
     s_n = icp_seeds
     init_T = _inplane_seed_transforms(
-        init_T, rb.src_c[gid_f], s_n, seed_step_deg
+        init_T, rb.src_c[gid_f], s_n, seed_step_deg, seed_flip
     )                                           # (C*R*S, 4, 4)
     rep = lambda a: jnp.repeat(a, s_n, axis=0) if s_n > 1 else a
     gid_e = rep(gid_f)
@@ -542,7 +597,7 @@ def detect_refine_multiclass_core(
     jax.jit,
     static_argnames=(
         "cfg", "icp", "max_refine", "nmax", "rb_win", "verify_tau",
-        "verify_color_weight", "icp_seeds", "seed_step_deg",
+        "verify_color_weight", "icp_seeds", "seed_step_deg", "seed_flip",
     ),
 )
 def _detect_refine_multiclass_jit(
@@ -569,13 +624,14 @@ def _detect_refine_multiclass_jit(
     verify_color_weight,
     icp_seeds,
     seed_step_deg,
+    seed_flip=False,
 ):
     rb = RefineBank(*rb_arrays, win=rb_win)
     return detect_refine_multiclass_core(
         rgb, depth, kernels, nfeats, whs, feats, valids, pad_map, cfg,
         threshold, nmax, rb, icp, K, max_refine, verify_pts, verify_valid,
         verify_colors, verify_tau, verify_color_weight, icp_seeds,
-        seed_step_deg,
+        seed_step_deg, seed_flip,
     )
 
 
@@ -602,6 +658,7 @@ class FusedMultiClassPipeline:
         verify_color_weight: float = 0.5,
         icp_seeds: int = 1,
         seed_step_deg: float = 18.0,
+        seed_flip: bool = False,
     ):
         from sixdpose_tpu.models.multiclass import MultiClassMatcher
 
@@ -611,6 +668,7 @@ class FusedMultiClassPipeline:
         self.max_refine = max_refine
         self.icp_seeds = int(icp_seeds)
         self.seed_step_deg = float(seed_step_deg)
+        self.seed_flip = bool(seed_flip)
         self.K = jnp.asarray(np.asarray(K, np.float32))
         self.mc = MultiClassMatcher(detector, self.class_ids)
 
@@ -695,6 +753,7 @@ class FusedMultiClassPipeline:
             self.verify_color_weight,
             self.icp_seeds,
             self.seed_step_deg,
+            self.seed_flip,
         )
 
 
@@ -715,6 +774,7 @@ class FusedPipeline:
         verify_color_weight: float = 0.5,
         icp_seeds: int = 1,
         seed_step_deg: float = 18.0,
+        seed_flip: bool = False,
     ):
         self.det = detector
         self.class_id = class_id
@@ -722,6 +782,7 @@ class FusedPipeline:
         self.max_refine = max_refine
         self.icp_seeds = int(icp_seeds)
         self.seed_step_deg = float(seed_step_deg)
+        self.seed_flip = bool(seed_flip)
         self.K = jnp.asarray(np.asarray(K, np.float32))
         self.rb = build_refine_bank(detector, class_id, num_points)
         if self.rb is None:
@@ -772,4 +833,5 @@ class FusedPipeline:
             self.verify_color_weight,
             self.icp_seeds,
             self.seed_step_deg,
+            self.seed_flip,
         )

@@ -117,6 +117,7 @@ class PoseEstimationService:
         rank_key: str = "verify",
         prefer_fused: bool = True,
         icp_seeds: int = 1,
+        seed_flip: bool = False,
     ):
         """Args:
         detector: trained detector whose template infos carry the render
@@ -137,8 +138,10 @@ class PoseEstimationService:
         self.verify_color_weight = verify_color_weight
         self.rank_key = rank_key
         # In-plane ICP seed fan per hypothesis (multi-class fused path);
-        # 1 = single seed (the template pose as-is).
+        # 1 = single seed (the template pose as-is).  seed_flip replaces
+        # the last fan slot with a 180-deg seed (near-symmetric shapes).
         self.icp_seeds = int(icp_seeds)
+        self.seed_flip = bool(seed_flip)
         # prefer_fused=False forces the host-orchestrated path (A/B
         # accuracy comparisons; the fused path is the default).
         self.prefer_fused = prefer_fused
@@ -213,6 +216,7 @@ class PoseEstimationService:
                     verify_tau=self.verify_tau,
                     verify_color_weight=self.verify_color_weight,
                     icp_seeds=self.icp_seeds,
+                    seed_flip=self.seed_flip,
                 )
             except (ValueError, KeyError):
                 self._fused[class_id] = None
@@ -243,6 +247,7 @@ class PoseEstimationService:
                     verify_tau=self.verify_tau,
                     verify_color_weight=self.verify_color_weight,
                     icp_seeds=self.icp_seeds,
+                    seed_flip=self.seed_flip,
                 )
             except (ValueError, KeyError):
                 self._fused_mc = None

@@ -296,3 +296,41 @@ def test_fused_pipeline_empty_scene(trained_box):
     fit = np.asarray(out[6])
     assert not active.any()
     assert (fit < 0).all()
+
+
+def test_inplane_seed_fan_flip():
+    """The seed fan's flip variant replaces the last slot with a 180-deg
+    in-plane rotation about the camera ray through the seeded centroid:
+    near-180-symmetric silhouettes (wedge vs its flip) lock template
+    matching onto the wrong half of the view sphere, and only a flipped
+    ICP init reaches the true basin (TUNING_r04.json: wedge 4/8 -> 6/8)."""
+    import jax.numpy as jnp
+
+    from sixdpose_tpu.models.pipeline import _inplane_seed_transforms
+
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, 3] = (0.01, -0.02, 0.4)
+    src_c = np.array([[0.005, 0.0, 0.01]], np.float32)
+    out = np.asarray(
+        _inplane_seed_transforms(
+            jnp.asarray(T0[None]), jnp.asarray(src_c), 4, 18.0, True
+        )
+    )
+    assert out.shape == (4, 4, 4)
+    # Slots 0-2: the +-18-deg fan INCLUDING the identity seed.
+    assert any(np.allclose(out[i], T0, atol=1e-6) for i in range(3))
+    # Slot 3: 180-deg in-plane rotation; the rotation center (centroid
+    # under T0) is a fixed point, and the relative rotation trace is -1
+    # (cos 180 * 2 + 1).
+    center = T0[:3, 3] + src_c[0]
+    c2 = out[3, :3, :3] @ center + out[3, :3, 3]
+    np.testing.assert_allclose(c2, center, atol=1e-5)
+    rel = out[3, :3, :3] @ np.linalg.inv(T0[:3, :3])
+    assert abs(np.trace(rel) - (-1.0)) < 1e-4, np.trace(rel)
+    # flip=False keeps the plain symmetric fan (no 180 slot).
+    out0 = np.asarray(
+        _inplane_seed_transforms(
+            jnp.asarray(T0[None]), jnp.asarray(src_c), 3, 18.0, False
+        )
+    )
+    assert np.allclose(out0[1], T0, atol=1e-6)

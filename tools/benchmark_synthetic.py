@@ -35,8 +35,11 @@ def main() -> int:
                     help="npz path: reuse the trained bank across runs")
     ap.add_argument("--max-hyps", type=int, default=8,
                     help="hypotheses per class kept through ICP + verify")
-    ap.add_argument("--icp-seeds", type=int, default=3,
-                    help="in-plane ICP seed fan per hypothesis")
+    ap.add_argument("--icp-seeds", type=int, default=4,
+                    help="in-plane ICP seed fan per hypothesis (with "
+                         "--seed-flip the last slot is the 180-deg seed)")
+    ap.add_argument("--no-seed-flip", action="store_true",
+                    help="disable the 180-deg in-plane flip seed")
     ap.add_argument("--verify-tau", type=float, default=8.0,
                     help="verification depth-agreement tolerance (mm)")
     ap.add_argument("--rank-key", default="verify",
@@ -58,6 +61,7 @@ def main() -> int:
         bank_cache=args.bank_cache,
         max_hyps=args.max_hyps,
         rank_key=args.rank_key,
+        seed_flip=not args.no_seed_flip,
         icp_seeds=args.icp_seeds,
         verify_tau=args.verify_tau,
     )
