@@ -292,7 +292,16 @@ def train_benchmark_bank(
     import json
     import os
 
+    import re
+
     from sixdpose_tpu.ops.quantize import QUANTIZER_VERSION
+
+    def _norm_cfg(cfg_repr: str) -> str:
+        """Drop INFERENCE-ONLY fields from the cache key: top_k and
+        nms_iou never affect what training writes into the bank, and a
+        candidate-budget sweep must not cost a full retrain."""
+        cfg_repr = re.sub(r"top_k=\d+", "top_k=*", cfg_repr)
+        return re.sub(r"nms_iou=[\d.]+", "nms_iou=*", cfg_repr)
 
     knobs = {
         "classes": sorted(models.keys()),
@@ -301,12 +310,19 @@ def train_benchmark_bank(
         "cfg": repr(cfg),
         "quantizer": QUANTIZER_VERSION,
     }
+
+    def _match(cached: dict) -> bool:
+        a, b = dict(cached), dict(knobs)
+        a["cfg"] = _norm_cfg(a.get("cfg", ""))
+        b["cfg"] = _norm_cfg(b["cfg"])
+        return a == b
+
     if bank_cache and os.path.exists(bank_cache) and os.path.exists(
         bank_cache + ".meta.json"
     ):
         with open(bank_cache + ".meta.json") as f:
             cached = json.load(f)
-        if cached == knobs:
+        if _match(cached):
             det = Detector.read_classes(bank_cache, cfg)
             if verbose:
                 print(f"bank cache hit: {bank_cache} "
@@ -357,12 +373,13 @@ def run_benchmark(
     prefer_fused: bool = True,
     object_ids: Optional[List[str]] = None,
     bank_cache: Optional[str] = None,
-    max_hyps: int = 8,
+    max_hyps: int = 12,
     rank_key: str = "verify",
     scene_hook=None,
     icp_seeds: int = 4,
-    verify_tau: float = 8.0,
+    verify_tau: float = 6.0,
     seed_flip: bool = True,
+    top_k: int = 32,
 ) -> dict:
     """Train banks for all models, evaluate recall over cluttered scenes.
 
@@ -392,7 +409,7 @@ def run_benchmark(
 
     cfg = DetectorConfig(
         t_at_level=(4, 8),
-        top_k=32,
+        top_k=top_k,
         color=ColorGradientConfig(num_features=40, strong_threshold=30.0),
         depth=DepthNormalConfig(num_features=24, extract_threshold=1, focal=280.0),
     )

@@ -33,15 +33,18 @@ def main() -> int:
                     help="force the host-orchestrated serving path (A/B)")
     ap.add_argument("--bank-cache", default=None,
                     help="npz path: reuse the trained bank across runs")
-    ap.add_argument("--max-hyps", type=int, default=8,
-                    help="hypotheses per class kept through ICP + verify")
+    ap.add_argument("--max-hyps", type=int, default=12,
+                    help="hypotheses per class kept through ICP + verify "
+                         "(swept r04: 8 -> 0.545, 12 -> 0.597, see "
+                         "TUNING_r04.json)")
     ap.add_argument("--icp-seeds", type=int, default=4,
                     help="in-plane ICP seed fan per hypothesis (with "
                          "--seed-flip the last slot is the 180-deg seed)")
     ap.add_argument("--no-seed-flip", action="store_true",
                     help="disable the 180-deg in-plane flip seed")
-    ap.add_argument("--verify-tau", type=float, default=8.0,
-                    help="verification depth-agreement tolerance (mm)")
+    ap.add_argument("--verify-tau", type=float, default=6.0,
+                    help="verification depth-agreement tolerance (mm); "
+                         "6.0 with max_hyps=12 scored 0.61 (TUNING_r04)")
     ap.add_argument("--rank-key", default="verify",
                     choices=["verify", "fitness", "similarity"])
     ap.add_argument("--out", default=None)
