@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--verify-tau", type=float, default=6.0,
                     help="verification depth-agreement tolerance (mm); "
                          "6.0 with max_hyps=12 scored 0.61 (TUNING_r04)")
+    ap.add_argument("--top-k", type=int, default=32,
+                    help="match candidate budget per class (inference-only; "
+                         "does not invalidate the bank cache)")
     ap.add_argument("--rank-key", default="verify",
                     choices=["verify", "fitness", "similarity"])
     ap.add_argument("--out", default=None)
@@ -67,6 +70,7 @@ def main() -> int:
         seed_flip=not args.no_seed_flip,
         icp_seeds=args.icp_seeds,
         verify_tau=args.verify_tau,
+        top_k=args.top_k,
     )
     config = {k: v for k, v in vars(args).items() if k != "out"}
     if args.out:
