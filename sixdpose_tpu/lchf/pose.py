@@ -47,6 +47,7 @@ def decode_bin_poses(
     train_radius: float,
     steps: int = 10,
     num_angle_bins: int = 10,
+    depth_offset: float = 0.0,
 ) -> List[Dict[str, np.ndarray]]:
     """Aggregate each bin's supporting votes into a 6D pose hypothesis.
 
@@ -77,7 +78,12 @@ def decode_bin_poses(
         wsum = w.sum()
         u = float(np.sum(w * ux[sup]) / wsum)
         v = float(np.sum(w * uy[sup]) / wsum)
-        z = float(np.sum(w * roi_depth[sup]) / wsum)
+        # Patch depths are SURFACE depths; the pose t is the object
+        # CENTER.  depth_offset (train_radius - mean train-patch depth)
+        # measures the model's surface-to-center distance from the very
+        # patches that voted, correcting a systematic half-extent bias
+        # (~20-30 mm on the 76 mm box -- measured, LCHF_POSE sweeps).
+        z = float(np.sum(w * roi_depth[sup]) / wsum) + depth_offset
         rpy = np.array(
             [_circular_mean(rpys[sup, i], w) for i in range(3)], np.float64
         )
@@ -121,6 +127,10 @@ def lchf_pose_hypotheses(
 
     cfg = cfg or LchfConfig()
     h, w = depth.shape
+    # Surface-to-center depth correction from the training patches'
+    # recorded center depths (see decode_bin_poses).
+    cds = [p.center_dep for p in getattr(model_l, "patches", []) or []]
+    depth_offset = float(train_radius - np.mean(cds)) if cds else 0.0
     rois = dense_rois(depth, stride=stride)
     if len(rois) == 0:
         return []
@@ -150,7 +160,7 @@ def lchf_pose_hypotheses(
     bins = np.stack(np.unravel_index(top, votes.shape), axis=1)
     return decode_bin_poses(
         bins, roi_xy, roi_d, off, rpy, wgt, K, train_radius, steps,
-        num_angle_bins,
+        num_angle_bins, depth_offset=depth_offset,
     )
 
 
@@ -161,25 +171,36 @@ def refine_lchf_poses(
     K: np.ndarray,
     icp=None,
     num_points: int = 512,
+    icp_seeds: int = 1,
+    seed_step_deg: float = 24.0,
 ):
     """Batched ICP over all LCHF hypotheses at once (one dispatch).
 
-    Returns (R (B, 3, 3), t_mm (B, 3), fitness (B,)) aligned with
-    ``hypotheses``.  Model cloud = subdivided mesh surface (mm -> m);
+    Hough angle bins are 36 deg wide, so a decoded rotation is up to a
+    half-bin off — on a 76 mm box that alone is ~19 mm ADI, and depth-only
+    ICP from that far locks wrong facets.  ``icp_seeds`` expands every
+    hypothesis into an in-plane fan (the same recovery that fixed the
+    wedge in template matching, models/pipeline.py) and each hypothesis
+    keeps its best-VERIFIED seed (verify_poses depth consistency).
+
+    Returns (R (B, 3, 3), t_mm (B, 3), fitness (B,), verify (B,)) aligned
+    with ``hypotheses``.  Model cloud = subdivided mesh surface (mm -> m);
     init_T = the decoded pose; scene = back-projected depth.
     """
     import jax.numpy as jnp
 
     from sixdpose_tpu.config import IcpConfig
     from sixdpose_tpu.geometry.render import subdivide_mesh
-    from sixdpose_tpu.models.refine import backproject, icp_batch, scene_normals
+    from sixdpose_tpu.models.pipeline import _inplane_seed_transforms
+    from sixdpose_tpu.models.refine import (
+        backproject, icp_batch, scene_normals, verify_poses,
+    )
 
     icp = icp or IcpConfig()
     b = len(hypotheses)
     if b == 0:
-        return (
-            np.zeros((0, 3, 3)), np.zeros((0, 3)), np.zeros((0,)),
-        )
+        z = np.zeros
+        return z((0, 3, 3)), z((0, 3)), z((0,)), z((0,))
     pts = np.asarray(mesh_model["pts"], np.float64)
     faces = np.asarray(mesh_model["faces"], np.int64)
     pts_d, _faces_d = subdivide_mesh(pts, faces, max_edge=6.0)
@@ -187,25 +208,50 @@ def refine_lchf_poses(
         sel = np.linspace(0, len(pts_d) - 1, num_points).astype(np.int64)
         pts_d = pts_d[sel]
     cloud = (pts_d / 1000.0).astype(np.float32)       # mm -> m
-    clouds = np.tile(cloud[None], (b, 1, 1))
-    valids = np.ones((b, len(cloud)), bool)
 
     init_T = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
     for i, hyp in enumerate(hypotheses):
         init_T[i, :3, :3] = hyp["R"]
         init_T[i, :3, 3] = np.asarray(hyp["t"], np.float64) / 1000.0  # m
 
-    sp = backproject(jnp.asarray(depth), jnp.asarray(np.asarray(K, np.float32)))
+    s_n = max(1, int(icp_seeds))
+    centroids = np.tile(cloud.mean(0)[None], (b, 1)).astype(np.float32)
+    init_Tj = np.asarray(
+        _inplane_seed_transforms(
+            jnp.asarray(init_T), jnp.asarray(centroids), s_n, seed_step_deg
+        )
+    )
+    bs = b * s_n
+    clouds = np.tile(cloud[None], (bs, 1, 1))
+    valids = np.ones((bs, len(cloud)), bool)
+
+    Kj = jnp.asarray(np.asarray(K, np.float32))
+    sp = backproject(jnp.asarray(depth), Kj)
     sn = scene_normals(sp)
     Ts, fits, _ = icp_batch(
         jnp.asarray(clouds), jnp.asarray(valids), sp, sn,
-        jnp.asarray(np.asarray(K, np.float32)), jnp.asarray(init_T),
+        Kj, jnp.asarray(init_Tj),
         icp.corr_dist, icp.max_iters, icp.coarse_gate_mult,
         point_weight=icp.point_weight, lm_damping=icp.lm_damping,
     )
-    Ts = np.asarray(Ts)
+    R_all = Ts[:, :3, :3]
+    t_all = Ts[:, :3, 3] * 1000.0
+    vscore = verify_poses(
+        jnp.asarray((cloud * 1000.0).astype(np.float32)), R_all, t_all,
+        jnp.asarray(depth), Kj, tau_mm=8.0,
+    )
+    R_all = np.asarray(R_all)
+    t_all = np.asarray(t_all)
     fits = np.asarray(fits)
-    return Ts[:, :3, :3], Ts[:, :3, 3] * 1000.0, fits
+    vscore = np.asarray(vscore)
+    if s_n > 1:
+        rank = (vscore * 100.0 + np.maximum(fits, 0.0)).reshape(b, s_n)
+        best = rank.argmax(1)
+        idx = np.arange(b) * s_n + best
+        R_all, t_all, fits, vscore = (
+            R_all[idx], t_all[idx], fits[idx], vscore[idx]
+        )
+    return R_all, t_all, fits, vscore
 
 
 def evaluate_pose_recall(
@@ -220,6 +266,7 @@ def evaluate_pose_recall(
     top_k: int = 10,
     adi_frac: float = 0.1,
     icp=None,
+    icp_seeds: int = 5,
     leaf_modes=None,
     device: bool = False,
     use_adi: bool = True,
@@ -252,8 +299,10 @@ def evaluate_pose_recall(
         if not hyps:
             records.append({"hit": False, "reason": "no hypotheses"})
             continue
-        R_r, t_r, fits = refine_lchf_poses(hyps, mesh_model, depth, K, icp)
-        best = int(np.argmax(fits))
+        R_r, t_r, fits, vscore = refine_lchf_poses(
+            hyps, mesh_model, depth, K, icp, icp_seeds=icp_seeds
+        )
+        best = int(np.argmax(vscore * 100.0 + np.maximum(fits, 0.0)))
         err = float(
             err_fn(
                 R_r[best], t_r[best].reshape(3, 1),
@@ -268,6 +317,7 @@ def evaluate_pose_recall(
                 "hit": bool(hit),
                 "err_mm": err,
                 "fitness": float(fits[best]),
+                "verify": float(vscore[best]),
                 "n_hyps": len(hyps),
             }
         )
