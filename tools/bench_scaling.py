@@ -124,29 +124,28 @@ def _measure_chained(args, cfg, bank, args_for, sizes):
             d = (score[0, 0] % 2.0).astype(jnp.uint8)
             return r ^ d
 
-        def chain(k):
-            @jax.jit
-            def prog(r):
-                return jax.lax.fori_loop(0, k, lambda i, v: frame_body(v), r)
-            return prog
+        # Chain length is a TRACED fori_loop bound: ONE compile serves
+        # both chain lengths (remote compiles cost minutes per program).
+        @jax.jit
+        def chain(k, r):
+            return jax.lax.fori_loop(0, k, lambda i, v: frame_body(v), r)
 
-        p1, p2 = chain(k1), chain(k2)
-        for p in (p1, p2):
-            out = p(rgb_b)
+        for k in (k1, k2):
+            out = chain(jnp.int32(k), rgb_b)
             _ = float(jnp.sum(out[..., :1].astype(jnp.float32)))
 
-        def run(p):
+        def run(k):
             best = float("inf")
             for _ in range(3):
                 t0 = time.time()
-                out = p(rgb_b)
+                out = chain(jnp.int32(k), rgb_b)
                 _ = float(jnp.sum(out[..., :1].astype(jnp.float32)))
                 best = min(best, time.time() - t0)
             return best
 
         dt = None
         for _ in range(5):
-            dt = (run(p2) - run(p1)) / (k2 - k1)
+            dt = (run(k2) - run(k1)) / (k2 - k1)
             if dt > 0:
                 break
         dt = max(dt, 1e-9)

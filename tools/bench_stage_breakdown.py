@@ -155,29 +155,28 @@ def main() -> int:
             d = stage_fn(r).astype(jnp.uint8)
             return r ^ d
 
-        def chain(k):
-            @jax.jit
-            def prog(r):
-                return jax.lax.fori_loop(0, k, lambda i, v: body(v), r)
-            return prog
+        # Traced chain length: ONE compile per stage prefix instead of
+        # two (remote compiles cost minutes per program).
+        @jax.jit
+        def chain(k, r):
+            return jax.lax.fori_loop(0, k, lambda i, v: body(v), r)
 
-        p1, p2 = chain(k1), chain(k2)
-        for p in (p1, p2):
-            out = p(rgbj)
+        for k in (k1, k2):
+            out = chain(jnp.int32(k), rgbj)
             _ = float(jnp.sum(out[..., :1].astype(jnp.float32)))
 
-        def run(p):
+        def run(k):
             best = float("inf")
             for _ in range(3):
                 t0 = time.time()
-                out = p(rgbj)
+                out = chain(jnp.int32(k), rgbj)
                 _ = float(jnp.sum(out[..., :1].astype(jnp.float32)))
                 best = min(best, time.time() - t0)
             return best
 
         dt = None
         for _ in range(5):
-            dt = (run(p2) - run(p1)) / (k2 - k1)
+            dt = (run(k2) - run(k1)) / (k2 - k1)
             if dt > 0:
                 break
         return max(dt, 1e-9)
