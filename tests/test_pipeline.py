@@ -319,11 +319,12 @@ def test_inplane_seed_fan_flip():
     assert out.shape == (4, 4, 4)
     # Slots 0-2: the +-18-deg fan INCLUDING the identity seed.
     assert any(np.allclose(out[i], T0, atol=1e-6) for i in range(3))
-    # Slot 3: 180-deg in-plane rotation; the rotation center (centroid
-    # under T0) is a fixed point, and the relative rotation trace is -1
-    # (cos 180 * 2 + 1).
-    center = T0[:3, 3] + src_c[0]
-    c2 = out[3, :3, :3] @ center + out[3, :3, 3]
+    # Slot 3: 180-deg in-plane rotation composed with T0; the MODEL-frame
+    # centroid src_c maps to the same camera point under T0 and under the
+    # flip seed (the rotation pivots about T0(src_c)), and the relative
+    # rotation trace is -1 (2*cos 180 + 1).
+    center = T0[:3, 3] + src_c[0]          # T0(src_c), T0 rotation = I
+    c2 = out[3, :3, :3] @ src_c[0] + out[3, :3, 3]
     np.testing.assert_allclose(c2, center, atol=1e-5)
     rel = out[3, :3, :3] @ np.linalg.inv(T0[:3, :3])
     assert abs(np.trace(rel) - (-1.0)) < 1e-4, np.trace(rel)
