@@ -168,10 +168,16 @@ def main() -> int:
     report["fused_global_table"] = mc.w_bins is not None
     report["fused_table_gb"] = round(mc.table_bytes / (1 << 30), 3)
 
+    # Per-class candidate budget for the fused program: the Pallas v4
+    # local-refine kernel prefetches ~1 KB SMEM per candidate, so
+    # C * top_k must stay under ~1024 (TODO.md "Known limits"; a v5
+    # kernel that DMAs feature tables removes the cap).
+    fused_topk = min(cfg.top_k, max(8, 1024 // len(class_ids)))
+
     def fused_body(r):
         tid, x, y, score, keep, d, sc = multiscale_multiclass_core(
             r, dep, mc.feats, mc.valids, mc.whs, mc.pad_map, mc.cls_kb,
-            mc.bin_scales, cfg, 70.0, 5, mc.kdims, cfg.top_k,
+            mc.bin_scales, cfg, 70.0, 5, mc.kdims, fused_topk,
             w_bins=mc.w_bins, nf_bins=mc.nf_bins,
         )
         return score[0, 0]
@@ -201,6 +207,7 @@ def main() -> int:
             break
     dtf = max(dtf, 1e-9)
     report["ms_per_frame_one_dispatch"] = round(dtf * 1000, 2)
+    report["one_dispatch_topk_per_class"] = fused_topk
     print(
         f"ONE-dispatch {len(class_ids)}-class multiscale: "
         f"{dtf*1000:.2f} ms/frame ({1.0/dtf:.1f} fps)"
