@@ -621,6 +621,48 @@ def similarity_local_sparse_auto(
             fn = LR.similarity_local_sparse_pallas_v4
         else:
             fn = LR.similarity_local_sparse_pallas
+        # The kernels prefetch the per-candidate feature tables as
+        # scalar-prefetch SMEM operands — ~12 bytes per (candidate,
+        # feature) — and XLA:TPU refuses to compile past the 1 MB SMEM
+        # budget (measured: 864 cands x 72 feats ~ 1 KB/cand; 1020 x 256
+        # ~ 3 KB/cand).  Chunk big pools into kernel calls sized so each
+        # stays ~60% under the budget (sequential in the program) so
+        # large multi-class hypothesis budgets stay compilable.  A v5
+        # kernel that DMAs feature tables from HBM removes the cap
+        # entirely (TODO.md "Known limits").
+        n = feats_sel.shape[0]
+        per_cand = max(int(feats_sel.shape[1]) * 12, 64)
+        block = int(0.6 * (1 << 20) / per_cand)
+        block = max(64, min(512, (block // 8) * 8))
+        # Only chunk when the WHOLE pool would overflow; pools that fit
+        # keep their original (already validated) single-call program.
+        if n * per_cand > int(0.6 * (1 << 20)) and n > block:
+            pad = (-n) % block
+            fs = jnp.pad(feats_sel, ((0, pad), (0, 0), (0, 0)))
+            vs = jnp.pad(valid_sel, ((0, pad), (0, 0)))
+            og = jnp.pad(origins, ((0, pad), (0, 0)))
+            sc = jnp.pad(scale, (0, pad)) if scale is not None else None
+            if active is None:
+                ac = jnp.arange(n + pad) < n
+            else:
+                ac = jnp.pad(active, (0, pad))
+            raws, nfs = [], []
+            for b0 in range(0, n + pad, block):
+                r_, n_ = fn(
+                    response_maps,
+                    fs[b0 : b0 + block],
+                    vs[b0 : b0 + block],
+                    og[b0 : b0 + block],
+                    t, window,
+                    sc[b0 : b0 + block] if sc is not None else None,
+                    ac[b0 : b0 + block],
+                )
+                raws.append(r_)
+                nfs.append(n_)
+            return (
+                jnp.concatenate(raws, axis=0)[:n],
+                jnp.concatenate(nfs, axis=0)[:n],
+            )
         return fn(
             response_maps, feats_sel, valid_sel, origins, t, window, scale,
             active,
