@@ -380,6 +380,7 @@ def run_benchmark(
     verify_tau: float = 6.0,
     seed_flip: bool = True,
     top_k: int = 32,
+    verify_color_weight: float = 0.5,
 ) -> dict:
     """Train banks for all models, evaluate recall over cluttered scenes.
 
@@ -423,6 +424,7 @@ def run_benchmark(
         icp=IcpConfig(max_iters=20), min_fitness=0.3,
         prefer_fused=prefer_fused, rank_key=rank_key,
         icp_seeds=icp_seeds, verify_tau=verify_tau, seed_flip=seed_flip,
+        verify_color_weight=verify_color_weight,
     )
 
     targets = 0
