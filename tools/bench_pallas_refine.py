@@ -42,6 +42,7 @@ def main() -> int:
         "v3u8": functools.partial(LR.similarity_local_sparse_pallas_v3,
                                   unroll=8),
         "v4": LR.similarity_local_sparse_pallas_v4,
+        "v5": LR.similarity_local_sparse_pallas_v5,
     }
 
     t = 5
