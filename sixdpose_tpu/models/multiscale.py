@@ -39,8 +39,11 @@ from sixdpose_tpu.models.detector import (
 )
 from sixdpose_tpu.ops.scale_proposal import bin_centers, propose_depth_bins, propose_depths
 from sixdpose_tpu.ops.similarity import (
+    _matmul_shift_sum_s2d,
+    _s2d_maps,
     matmul_shift_sum,
     multiscale_weights_host,
+    multiscale_weights_host_bin,
     score_normalize,
     similarity_local_sparse_auto,
     similarity_multiscale_matmul,
@@ -216,7 +219,7 @@ def multiscale_detect_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_scales", "kdims"),
+    static_argnames=("cfg", "num_scales", "kdims", "apply_nms"),
 )
 def _multiscale_detect(
     rgb,
@@ -231,11 +234,13 @@ def _multiscale_detect(
     kdims: Tuple[Tuple[int, int], ...],
     w_bins=None,
     nf_bins=None,
+    apply_nms: bool = True,
 ):
     """Fused multi-scale detection (jit wrapper of the core)."""
     return multiscale_detect_core(
         rgb, depth, feats, valids, whs, bin_scales, cfg, threshold,
-        num_scales, kdims, w_bins=w_bins, nf_bins=nf_bins,
+        num_scales, kdims, apply_nms=apply_nms, w_bins=w_bins,
+        nf_bins=nf_bins,
     )
 
 
@@ -358,6 +363,7 @@ class MultiScaleDetector:
         depth: np.ndarray,
         threshold: float,
         class_id: str,
+        apply_nms: bool = True,
     ) -> List[ScaleMatch]:
         feats, valids, whs, bs, kdims, w_bins, nf_bins = self._feature_arrays(
             class_id
@@ -375,6 +381,7 @@ class MultiScaleDetector:
             kdims,
             w_bins=w_bins,
             nf_bins=nf_bins,
+            apply_nms=apply_nms,
         )
         tid, x, y, score, keep, depths, scales = jax.device_get(
             (tid, x, y, score, keep, depths, scales)
@@ -419,6 +426,7 @@ def multiscale_multiclass_core(
     apply_nms: bool = True,
     w_bins: Optional[jnp.ndarray] = None,
     nf_bins: Optional[jnp.ndarray] = None,
+    pad_kb: Optional[Tuple[int, int]] = None,
 ):
     """Traceable multiscale detection over EVERY class in one program.
 
@@ -451,27 +459,62 @@ def multiscale_multiclass_core(
     # The shift-sum grid only covers anchors where the GLOBAL (max over
     # classes) kernel window fits; a class with a smaller template would
     # lose its border anchors.  Zero-pad the coarse maps bottom/right so
-    # EVERY block is an anchor (zero responses contribute nothing), then
-    # mask each class back to its OWN per-class anchor range below —
-    # exact per-class-detector coverage from one global sweep.
+    # every PER-CLASS anchor is covered (zero responses contribute
+    # nothing), then mask each class back to its OWN anchor range below —
+    # exact per-class-detector coverage from one global sweep.  Padding
+    # by (khb - min_class_khb) is sufficient (class c's anchors run to
+    # hb0 - khb_c; the padded global range hb0 + pad - khb covers them
+    # for every c when pad >= khb - min_c khb_c); callers pass the
+    # static ``pad_kb`` — the conservative (khb-1, kwb-1) default is the
+    # all-blocks-are-anchors fallback, 1.4x more matmul positions for a
+    # same-extent bank.
+    pb, qb = pad_kb if pad_kb is not None else (khb - 1, kwb - 1)
     maps_c = jnp.pad(
         pyramid[coarse],
-        ((0, 0), (0, (khb - 1) * t_c), (0, (kwb - 1) * t_c)),
+        ((0, 0), (0, pb * t_c), (0, qb * t_c)),
     )
     if w_bins is not None:
-        w_sel = jnp.concatenate(
-            [
-                jax.lax.dynamic_index_in_dim(w_bins, bin_idx[i], 0, keepdims=False)
-                for i in range(s)
-            ],
-            axis=1,
-        )  # (khb*kwb, S*N, C*t*t)
         nfeat_c = jnp.where(
             jnp.repeat(valid_scale, n),
             nf_bins[bin_idx].reshape(s * n),
             0,
         ).astype(jnp.int32)
-        raw = matmul_shift_sum(maps_c, w_sel, t_c, khb, kwb)
+        if isinstance(w_bins, (tuple, list)):
+            # Per-bin table LIST (MultiScaleMultiClass): each scale slot
+            # picks its bin's (khb*kwb, N, ct2) table with lax.switch and
+            # runs its own shift-sum matmul — no (khb*kwb, S*N, ct2)
+            # gather ever materializes (3.4 GB at a 15-class sweep), and
+            # the resident table is 16 moderate buffers instead of one
+            # ~12 GB array.
+            maps_i = _s2d_maps(maps_c, t_c).astype(jnp.int8)
+            hb_i, wb_i = maps_i.shape[1:]
+            branches = [lambda a=a: a for a in w_bins]
+            raws = [
+                _matmul_shift_sum_s2d(
+                    maps_i,
+                    jax.lax.switch(
+                        jnp.clip(bin_idx[i], 0, len(w_bins) - 1), branches
+                    ),
+                    khb, kwb,
+                )
+                for i in range(s)
+            ]
+            raw = (
+                jnp.concatenate(raws, axis=0)
+                .reshape(s * n, hb_i - khb + 1, wb_i - kwb + 1)
+                .astype(jnp.float32)
+            )
+        else:
+            w_sel = jnp.concatenate(
+                [
+                    jax.lax.dynamic_index_in_dim(
+                        w_bins, bin_idx[i], 0, keepdims=False
+                    )
+                    for i in range(s)
+                ],
+                axis=1,
+            )  # (khb*kwb, S*N, C*t*t)
+            raw = matmul_shift_sum(maps_c, w_sel, t_c, khb, kwb)
     else:
         raw, nfeat_c = similarity_multiscale_matmul(
             maps_c, feats[coarse], valids[coarse], scales, t_c,
@@ -551,15 +594,19 @@ def multiscale_multiclass_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_scales", "kdims", "top_k"),
+    static_argnames=(
+        "cfg", "num_scales", "kdims", "top_k", "pad_kb", "apply_nms"
+    ),
 )
 def _multiscale_multiclass(
     rgb, depth, feats, valids, whs, pad_map, cls_kb, bin_scales, cfg,
     threshold, num_scales, kdims, top_k, w_bins=None, nf_bins=None,
+    pad_kb=None, apply_nms=True,
 ):
     return multiscale_multiclass_core(
         rgb, depth, feats, valids, whs, pad_map, cls_kb, bin_scales, cfg,
-        threshold, num_scales, kdims, top_k, w_bins=w_bins, nf_bins=nf_bins,
+        threshold, num_scales, kdims, top_k, apply_nms=apply_nms,
+        w_bins=w_bins, nf_bins=nf_bins, pad_kb=pad_kb,
     )
 
 
@@ -644,6 +691,14 @@ class MultiScaleMultiClass:
             cls_kb[ci] = (-(-kh_c_cls // t_c), -(-kw_c_cls // t_c))
             start += cnt
         self.cls_kb = jnp.asarray(cls_kb)
+        # Static map padding: cover every class's own anchor range (see
+        # multiscale_multiclass_core), no more.
+        kh_glob, kw_glob = kdims[coarse]
+        khb_g, kwb_g = -(-kh_glob // t_c), -(-kw_glob // t_c)
+        self.pad_kb = (
+            int(khb_g - cls_kb[:, 0].min()),
+            int(kwb_g - cls_kb[:, 1].min()),
+        )
         kh_c, kw_c = kdims[coarse]
         c = 8 * self.cfg.num_modalities
         khb, kwb = -(-kh_c // t_c), -(-kw_c // t_c)
@@ -652,11 +707,19 @@ class MultiScaleMultiClass:
         table_bytes = nb * khb * kwb * n_total * c * t_c * t_c + nb * n_total * 4
         self.w_bins = self.nf_bins = None
         if table_bytes <= table_budget_bytes:
-            w_np, nf_np = multiscale_weights_host(
-                feats_np[coarse], valids_np[coarse], self.bin_scales_np,
-                t_c, kh_c, kw_c, c,
-            )
-            self.w_bins = jnp.asarray(w_np)
+            # Build + upload PER BIN: the 15-class LINEMOD-scale table is
+            # ~12 GB — as one array it cannot be staged (host copy +
+            # device copy in flight), as 16 per-bin buffers it streams.
+            w_list = []
+            nf_np = np.zeros((nb, n_total), np.int32)
+            for bi, sc in enumerate(self.bin_scales_np):
+                w_b, nf_b = multiscale_weights_host_bin(
+                    feats_np[coarse], valids_np[coarse], float(sc),
+                    t_c, kh_c, kw_c, c,
+                )
+                w_list.append(jax.device_put(jnp.asarray(w_b)))
+                nf_np[bi] = nf_b
+            self.w_bins = tuple(w_list)
             self.nf_bins = jnp.asarray(nf_np)
 
         self.feats = tuple(jnp.asarray(a) for a in feats_np)
@@ -667,7 +730,8 @@ class MultiScaleMultiClass:
         self.kdims = tuple(kdims)
         self.table_bytes = int(table_bytes)
 
-    def match_arrays(self, rgb, depth, threshold: float):
+    def match_arrays(self, rgb, depth, threshold: float,
+                     apply_nms: bool = True):
         """(C, K) device arrays (tid_local, x, y, score, keep, depth_mm,
         scale) ordered like ``class_ids`` — ONE dispatch, no readback."""
         return _multiscale_multiclass(
@@ -676,11 +740,15 @@ class MultiScaleMultiClass:
             self.feats, self.valids, self.whs, self.pad_map, self.cls_kb,
             self.bin_scales, self.cfg, jnp.float32(threshold),
             self.num_scales, self.kdims, self.cfg.top_k,
-            w_bins=self.w_bins, nf_bins=self.nf_bins,
+            w_bins=self.w_bins, nf_bins=self.nf_bins, pad_kb=self.pad_kb,
+            apply_nms=apply_nms,
         )
 
-    def match(self, rgb, depth, threshold: float) -> List[ScaleMatch]:
-        out = jax.device_get(self.match_arrays(rgb, depth, threshold))
+    def match(self, rgb, depth, threshold: float,
+              apply_nms: bool = True) -> List[ScaleMatch]:
+        out = jax.device_get(
+            self.match_arrays(rgb, depth, threshold, apply_nms=apply_nms)
+        )
         tid, x, y, score, keep, depths, scales = out
         res: List[ScaleMatch] = []
         for ci, cid in enumerate(self.class_ids):

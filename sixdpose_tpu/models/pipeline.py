@@ -210,18 +210,27 @@ def detect_refine_core(
     tid, x, y, score, keep = detect_frame_core(
         rgb, depth, kernels, nfeats, whs, cfg, threshold, True, feats, valids
     )
-    # Top max_refine DISTINCT templates by raw score (NOT the box-NMS
-    # survivors) — see detect_refine_multiclass_core for the rationale:
-    # rival views at the same peak must survive to verification, which is
-    # what separates a near-symmetric object from its flip.
+    # Top max_refine candidates by raw score, deduped on (template,
+    # location) — NOT the box-NMS survivors; see
+    # detect_refine_multiclass_core for the rationale: rival views at the
+    # same peak must survive to verification, which is what separates a
+    # near-symmetric object from its flip, while same-view peaks FAR
+    # apart are distinct instances and both stay.
     rank = jnp.where(score >= 0, score, -jnp.inf)
     order0 = jnp.argsort(-rank)
     tid_s = tid[order0]
     rank_s = rank[order0]
+    x_s = x[order0]
+    y_s = y[order0]
+    wh_s = rb.bbox_wh[tid_s]                    # (K, 2) template bbox px
     k_n = tid_s.shape[0]
     same = tid_s[:, None] == tid_s[None, :]
+    near = (
+        (jnp.abs(x_s[:, None] - x_s[None, :]) * 2 <= wh_s[None, :, 0])
+        & (jnp.abs(y_s[:, None] - y_s[None, :]) * 2 <= wh_s[None, :, 1])
+    )
     earlier = jnp.arange(k_n)[None, :] < jnp.arange(k_n)[:, None]
-    dup = jnp.any(same & earlier, axis=1)
+    dup = jnp.any(same & near & earlier, axis=1)
     rank2 = jnp.where(dup, -jnp.inf, rank_s)
     order1 = jnp.argsort(-rank2)[:max_refine]
     order = order0[order1]
@@ -462,27 +471,40 @@ def detect_refine_multiclass_core(
         pyramid, kernels, nfeats, whs, feats, valids, pad_map,
         tuple(cfg.t_at_level), threshold, cfg.top_k, nmax, cfg.nms_iou,
     )
-    # Per-class hypothesis selection: top max_refine DISTINCT templates by
-    # raw score — deliberately NOT the box-NMS survivors.  Box NMS keeps
-    # one template per location, but near-symmetric objects (e.g. a wedge
-    # vs its 180-deg flip) score several VIEWS at the same peak within a
-    # few similarity points; suppressing them leaves only the loudest
-    # (possibly flipped) view in the pool and ICP then polishes the wrong
-    # basin.  Distinct-template selection keeps rival views alive through
-    # ICP so VERIFICATION picks the pose (measured on wedge scenes: the
-    # correct view verifies ~0.93 vs ~0.66 for the flip — whenever it is
-    # allowed into the pool).  Final spatial dedupe happens after verify
-    # (serving translation-space dedupe), preserving the one-result-per-
-    # object contract.
+    # Per-class hypothesis selection: top max_refine candidates by raw
+    # score, deduped on (template, LOCATION) — deliberately NOT the
+    # box-NMS survivors.  Box NMS keeps one template per location, but
+    # near-symmetric objects (e.g. a wedge vs its 180-deg flip) score
+    # several VIEWS at the same peak within a few similarity points;
+    # suppressing them leaves only the loudest (possibly flipped) view in
+    # the pool and ICP then polishes the wrong basin.  Keeping rival
+    # views alive through ICP lets VERIFICATION pick the pose (measured
+    # on wedge scenes: the correct view verifies ~0.93 vs ~0.66 for the
+    # flip — whenever it is allowed into the pool).  The dedupe is
+    # same-template AND same-place (within half the template bbox):
+    # template-only dedupe silently dropped the second instance of a
+    # repeated object whenever both peaked on the same view.  Final
+    # spatial dedupe happens after verify (serving translation-space
+    # dedupe), preserving the one-result-per-object contract.
     rank = jnp.where(score >= 0, score, -jnp.inf)            # (C, K)
     order0 = jnp.argsort(-rank, axis=1)                      # (C, K)
     take0 = lambda a: jnp.take_along_axis(a, order0, axis=1)
     tid_s = take0(tid_l)
     rank_s = take0(rank)
+    x_s = take0(x)
+    y_s = take0(y)
+    gid_s = jnp.take_along_axis(jnp.maximum(pad_map, 0), tid_s, axis=1)
+    wh_s = whs[0][gid_s]                                     # (C, K, 2)
     same = tid_s[:, :, None] == tid_s[:, None, :]            # (C, K, K)
+    near = (
+        (jnp.abs(x_s[:, :, None] - x_s[:, None, :]) * 2
+         <= wh_s[:, None, :, 0])
+        & (jnp.abs(y_s[:, :, None] - y_s[:, None, :]) * 2
+           <= wh_s[:, None, :, 1])
+    )
     k_n = same.shape[1]
     earlier = jnp.arange(k_n)[None, :] < jnp.arange(k_n)[:, None]
-    dup = jnp.any(same & earlier[None], axis=2)              # (C, K)
+    dup = jnp.any(same & near & earlier[None], axis=2)       # (C, K)
     rank2 = jnp.where(dup, -jnp.inf, rank_s)
     order1 = jnp.argsort(-rank2, axis=1)[:, :max_refine]     # (C, R)
     order = jnp.take_along_axis(order0, order1, axis=1)

@@ -304,22 +304,45 @@ def multiscale_weights_host(
     selection is a contiguous slice per proposal.
     """
     khb, kwb = -(-kh // t), -(-kw // t)
-    n, f = feats.shape[:2]
+    n = feats.shape[0]
     ct2 = num_channels * t * t
     nb = len(bin_scales)
     w = np.zeros((nb, khb * kwb, n, ct2), np.int8)
     nf = np.zeros((nb, n), np.int32)
-    tid = np.broadcast_to(np.arange(n)[:, None], (n, f))
     for bi, sc in enumerate(np.asarray(bin_scales)):
-        xs = np.round(feats[..., 0] * sc).astype(np.int64)
-        ys = np.round(feats[..., 1] * sc).astype(np.int64)
-        cs = feats[..., 2]
-        ok = valid & (xs >= 0) & (xs < kw) & (ys >= 0) & (ys < kh) & (sc > 0)
-        cp = cs * (t * t) + (ys % t) * t + (xs % t)
-        b = (ys // t) * kwb + (xs // t)
-        np.add.at(w, (bi, b[ok], tid[ok], cp[ok]), 1)
-        nf[bi] = ok.sum(1)
+        w[bi], nf[bi] = multiscale_weights_host_bin(
+            feats, valid, float(sc), t, kh, kw, num_channels
+        )
     return w, nf
+
+
+def multiscale_weights_host_bin(
+    feats: np.ndarray,
+    valid: np.ndarray,
+    scale: float,
+    t: int,
+    kh: int,
+    kw: int,
+    num_channels: int,
+):
+    """One depth bin of :func:`multiscale_weights_host`:
+    (W (khb*kwb, N, C*t*t) int8, nfeat (N,) int32).  Per-bin builds let
+    callers upload bins one at a time instead of materializing the whole
+    multi-GB table on the host/device at once."""
+    khb, kwb = -(-kh // t), -(-kw // t)
+    n, f = feats.shape[:2]
+    ct2 = num_channels * t * t
+    w = np.zeros((khb * kwb, n, ct2), np.int8)
+    tid = np.broadcast_to(np.arange(n)[:, None], (n, f))
+    sc = float(scale)
+    xs = np.round(feats[..., 0] * sc).astype(np.int64)
+    ys = np.round(feats[..., 1] * sc).astype(np.int64)
+    cs = feats[..., 2]
+    ok = valid & (xs >= 0) & (xs < kw) & (ys >= 0) & (ys < kh) & (sc > 0)
+    cp = cs * (t * t) + (ys % t) * t + (xs % t)
+    b = (ys // t) * kwb + (xs // t)
+    np.add.at(w, (b[ok], tid[ok], cp[ok]), 1)
+    return w, ok.sum(1).astype(np.int32)
 
 
 def matmul_shift_sum(
@@ -331,10 +354,18 @@ def matmul_shift_sum(
 ):
     """raw[sn, y, x] = sum_b W[b, sn] @ maps_s2d[:, y+b//kwb, x+b%kwb]
     — the shift-bucketed matmul contraction (traceable, no jit)."""
-    maps = _s2d_maps(response_maps, t)
-    ct2, hb, wb = maps.shape
+    maps = _s2d_maps(response_maps, t).astype(jnp.int8)
+    raw = _matmul_shift_sum_s2d(maps, w, khb, kwb)
+    sn = w.shape[1]
+    hb, wb = maps.shape[1:]
+    return raw.reshape(sn, hb - khb + 1, wb - kwb + 1).astype(jnp.float32)
+
+
+def _matmul_shift_sum_s2d(mi: jnp.ndarray, w: jnp.ndarray, khb: int, kwb: int):
+    """Shift-bucketed contraction over pre-s2d int8 maps ``mi``
+    ((ct2, hb, wb)); returns (SN, ho*wo) int32."""
+    ct2, hb, wb = mi.shape
     ho, wo = hb - khb + 1, wb - kwb + 1
-    mi = maps.astype(jnp.int8)
     sn = w.shape[1]
 
     def body(b, acc):
@@ -349,10 +380,9 @@ def matmul_shift_sum(
             preferred_element_type=jnp.int32,
         )
 
-    raw = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, khb * kwb, body, jnp.zeros((sn, ho * wo), jnp.int32)
     )
-    return raw.reshape(sn, ho, wo).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("t", "kh", "kw"))
@@ -395,20 +425,83 @@ def similarity_multiscale_matmul(
         return b, cprime, ok
 
     bs_, cps, oks = jax.vmap(per_scale)(scales)       # (S, N, F)
-    sn = (
-        jnp.arange(s)[:, None, None] * n
-        + jnp.broadcast_to(jnp.arange(n)[None, :, None], (s, n, f))
-    )
-    bflat = jnp.where(oks, bs_, 0).reshape(-1)
-    cflat = jnp.where(oks, cps, 0).reshape(-1)
-    snflat = sn.reshape(-1)
-    w = jnp.zeros((khb * kwb, s * n, ct2), jnp.int8)
-    w = w.at[bflat, snflat, cflat].add(
-        oks.reshape(-1).astype(jnp.int8), mode="drop"
-    )
     nfeat = jnp.sum(oks, axis=2).reshape(s * n).astype(jnp.int32)
-    raw = matmul_shift_sum(response_maps, w, t, khb, kwb)
-    return raw, nfeat
+    # Row-chunked build+consume: each chunk's weight block W_c
+    # (bh, chunk, ct2) is contracted immediately after it is built, so
+    # the full (bh, S*N, ct2) weight tensor (3.4 GB int8 at a 15-class
+    # LINEMOD-scale sweep) never materializes — peak transient is one
+    # ~64 MB chunk instead (the fused 15-class program OOMed 16 GB HBM
+    # with the full tensor + its concat in flight).
+    maps = _s2d_maps(response_maps, t).astype(jnp.int8)
+    hb, wb = maps.shape[1:]
+    ho, wo = hb - khb + 1, wb - kwb + 1
+    sn = s * n
+    bh = khb * kwb
+    bflat = bs_.reshape(sn, f)
+    cflat = cps.reshape(sn, f)
+    okf = oks.reshape(sn, f)
+    chunk = max(8, min(sn, (64 << 20) // max(f * (bh + ct2) * 2, 1)))
+    raw_parts = []
+    for i in range(0, sn, chunk):
+        j = min(i + chunk, sn)
+        sl = lambda a: jax.lax.slice_in_dim(a, i, j, axis=0)
+        w_c = _build_w_onehot_rows(
+            sl(bflat), sl(cflat), sl(okf), bh, ct2
+        )  # (bh, j-i, ct2)
+        raw_parts.append(_matmul_shift_sum_s2d(maps, w_c, khb, kwb))
+    raw = (
+        jnp.concatenate(raw_parts, axis=0)
+        if len(raw_parts) > 1
+        else raw_parts[0]
+    )
+    return raw.reshape(sn, ho, wo).astype(jnp.float32), nfeat
+
+
+def _build_w_onehot(bs_, cps, oks, bh: int, ct2: int) -> jnp.ndarray:
+    """Densify per-(scale, template) feature lists into the shift-bucketed
+    weight tensor W (bh, S*N, ct2) int8 via an MXU contraction.
+
+    W[b, sn, cp] = sum_f 1[b_f = b] * 1[cp_f = cp] — a per-row outer
+    product of two one-hots, contracted over features as a batched int8
+    matmul with int32 accumulation (exact: operands are 0/1).  The obvious
+    scatter-add formulation measured 40 ms for a 5x1348-template sweep
+    on chip (~43 ns per scattered byte — XLA:TPU scatter is serial);
+    this build is ~20x faster and scales with rows, not with scattered
+    bytes.  Rows chunk so the transient one-hots stay ~64 MB."""
+    s, n, f = bs_.shape
+    sn = s * n
+    bflat = bs_.reshape(sn, f)
+    cflat = cps.reshape(sn, f)
+    okf = oks.reshape(sn, f)
+    chunk = max(8, min(sn, (64 << 20) // max(f * (bh + ct2) * 2, 1)))
+    # Static loop + concatenate: a fori_loop carrying the (bh, SN, ct2)
+    # buffer through dynamic_update_slice copied the whole ~GB carry
+    # each iteration (measured 27 ms extra at a 5x1348 sweep); direct
+    # materialization of the chunk results avoids the carry entirely.
+    parts = []
+    for i in range(0, sn, chunk):
+        j = min(i + chunk, sn)
+        sl = lambda a: jax.lax.slice_in_dim(a, i, j, axis=0)
+        parts.append(
+            _build_w_onehot_rows(sl(bflat), sl(cflat), sl(okf), bh, ct2)
+        )
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
+def _build_w_onehot_rows(b_c, c_c, o_c, bh: int, ct2: int) -> jnp.ndarray:
+    """One chunk of the one-hot weight build: (rows, F) index/mask arrays
+    -> (bh, rows, ct2) int8 counts."""
+    b_ids = jnp.arange(bh, dtype=b_c.dtype)
+    c_ids = jnp.arange(ct2, dtype=c_c.dtype)
+    oh_b = (
+        (b_c[:, :, None] == b_ids[None, None, :]) & o_c[:, :, None]
+    ).astype(jnp.int8)
+    oh_c = (c_c[:, :, None] == c_ids[None, None, :]).astype(jnp.int8)
+    w_c = jax.lax.dot_general(
+        oh_b, oh_c, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # (rows, bh, ct2)
+    return w_c.astype(jnp.int8).transpose(1, 0, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("t",))

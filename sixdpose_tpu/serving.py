@@ -342,28 +342,26 @@ class PoseEstimationService:
             fused = self.process_frame_fused(rgb, depth)
             if fused is not None:
                 return fused
-        if self.icp_seeds > 1 and not getattr(self, "_warned_seeds", False):
-            # The host-orchestrated fallback has no in-plane seed fan; say
-            # so once rather than silently degrading A/B comparisons.
-            import warnings
-
-            warnings.warn(
-                f"icp_seeds={self.icp_seeds} requested but the "
-                "host-orchestrated path refines single-seed; use the fused "
-                "path (prefer_fused=True, banks with train-time clouds) "
-                "for the seed fan.",
-                stacklevel=2,
-            )
-            self._warned_seeds = True
         with self.metrics.timer("match"):
             if ms is not None:
+                # NMS off: hypothesis selection below keeps rival VIEWS at
+                # the same peak alive through ICP so verification picks
+                # the pose — the same (template, location) pool as the
+                # fused cores (models/pipeline.py), which fixed the
+                # near-symmetric wedge's zero recall.  Box NMS would keep
+                # only the loudest (possibly flipped) view.
                 if hasattr(ms, "class_ids"):  # one-dispatch multi-class
-                    matches = ms.match(rgb, depth, self.threshold)
+                    matches = ms.match(
+                        rgb, depth, self.threshold, apply_nms=False
+                    )
                 else:
                     matches = []
                     for cid in self.det.class_ids():
                         matches.extend(
-                            ms.match(rgb, depth, self.threshold, cid)
+                            ms.match(
+                                rgb, depth, self.threshold, cid,
+                                apply_nms=False,
+                            )
                         )
                     matches.sort(key=lambda m: -m.similarity)
             else:
@@ -372,19 +370,32 @@ class PoseEstimationService:
         self.metrics.count("matches", len(matches))
         # Keep max_refine hypotheses PER CLASS (parity with the fused
         # multi-class pipeline): a cluttered frame must not let one loud
-        # class starve every other class's refinement budget.
-        per_class_n: Dict[str, int] = {}
+        # class starve every other class's refinement budget.  Within a
+        # class, dedupe on (template, location): same template at nearly
+        # the same place is one hypothesis, but distinct templates at one
+        # peak (rival views) AND one template at distant peaks (repeat
+        # instances) both stay.
+        per_class_kept: Dict[str, list] = {}
         kept_matches = []
         for m in matches:
-            n = per_class_n.get(m.class_id, 0)
-            if n < self.max_refine:
+            ks = per_class_kept.setdefault(m.class_id, [])
+            if len(ks) >= self.max_refine:
+                continue
+            bw_m, bh_m = self._match_bbox_px(m)
+            dup = any(
+                k.template_id == m.template_id
+                and abs(k.x - m.x) * 2 <= bw_m
+                and abs(k.y - m.y) * 2 <= bh_m
+                for k in ks
+            )
+            if not dup:
                 kept_matches.append(m)
-                per_class_n[m.class_id] = n + 1
+                ks.append(m)
         matches = kept_matches
         if not matches:
             return []
 
-        clouds, valids, init_Ts, meta, colors = [], [], [], [], []
+        clouds, valids, init_Ts, meta, colors, srcs = [], [], [], [], [], []
         npts = self.icp.num_model_points
         for m in matches:
             if m.class_id not in self.models:
@@ -469,6 +480,7 @@ class PoseEstimationService:
             init_Ts.append(T0)
             meta.append(m)
             colors.append(col_m)
+            srcs.append(src_c.astype(np.float32))
 
         if not clouds:
             return []
@@ -491,11 +503,34 @@ class PoseEstimationService:
             and rgb is not None
             and all(c is not None for c in colors)
         )
+        # In-plane seed fan (parity with the fused cores): each candidate
+        # refines from icp_seeds in-plane rotations (last slot a 180-deg
+        # flip when seed_flip) and keeps its best-VERIFIED seed below, so
+        # multiscale frames — which always route through this host path —
+        # get the same near-symmetry rescue machinery as the fused
+        # single-scale programs.
+        s_n = max(1, self.icp_seeds)
+        clouds_a = np.stack(clouds)
+        valids_a = np.stack(valids)
+        init_T_a = jnp.asarray(np.stack(init_Ts))
+        if s_n > 1:
+            from sixdpose_tpu.models.pipeline import _inplane_seed_transforms
+
+            init_T_a = _inplane_seed_transforms(
+                init_T_a,
+                jnp.asarray(np.stack(srcs)),
+                s_n,
+                flip=self.seed_flip,
+            )
+            clouds_a = np.repeat(clouds_a, s_n, axis=0)
+            valids_a = np.repeat(valids_a, s_n, axis=0)
         if use_color:
             col = np.stack(colors).astype(np.float32)
             chroma = col[..., :2] / np.maximum(
                 col.sum(-1, keepdims=True), 1e-6
             )
+            if s_n > 1:
+                chroma = np.repeat(chroma, s_n, axis=0)
             chroma_k = jnp.asarray(chroma)
             chroma_maps = scene_chroma(jnp.asarray(rgb))
         else:
@@ -503,12 +538,12 @@ class PoseEstimationService:
             chroma_maps = None
         with self.metrics.timer("icp"):
             Ts, fits, _rmse = icp_batch(
-                jnp.asarray(np.stack(clouds)),
-                jnp.asarray(np.stack(valids)),
+                jnp.asarray(clouds_a),
+                jnp.asarray(valids_a),
                 sp,
                 sn,
                 jnp.asarray(self.K.astype(np.float32)),
-                jnp.asarray(np.stack(init_Ts)),
+                init_T_a,
                 self.icp.corr_dist,
                 self.icp.max_iters,
                 self.icp.coarse_gate_mult,
@@ -522,69 +557,97 @@ class PoseEstimationService:
             Ts = np.asarray(Ts, np.float64)
             fits = np.asarray(fits)
 
+        # Compose EVERY refined seed with its template pose, verify all
+        # of them, then reduce each hypothesis to its best-verified seed
+        # (verify rank, fitness tiebreaker — parity with the fused cores).
+        n_c = len(meta)
+        bases = np.stack(
+            [self._template_base(m) for m in meta]
+        )
+        if s_n > 1:
+            bases = np.repeat(bases, s_n, axis=0)
+        results = Ts @ bases                      # (n_c*s_n, 4, 4)
+        ver_all = np.full(len(results), -1.0)
+
+        from sixdpose_tpu.models.refine import verify_poses
+
+        by_class: Dict[str, List[int]] = {}
+        for i in range(len(results)):
+            by_class.setdefault(meta[i // s_n].class_id, []).append(i)
+        with self.metrics.timer("verify"):
+            for cid, idxs in by_class.items():
+                pts, vcolors = self._verify_points(cid)
+                Rs = jnp.asarray(
+                    results[idxs, :3, :3].astype(np.float32)
+                )
+                tsv = jnp.asarray(
+                    (results[idxs, :3, 3] * 1000.0).astype(np.float32)
+                )
+                scores = np.asarray(
+                    verify_poses(
+                        pts, Rs, tsv, jnp.asarray(depth),
+                        jnp.asarray(self.K.astype(np.float32)),
+                        tau_mm=self.verify_tau,
+                        model_colors=vcolors,
+                        rgb=jnp.asarray(rgb) if (
+                            vcolors is not None and rgb is not None
+                        ) else None,
+                        color_weight=self.verify_color_weight,
+                    )
+                )
+                ver_all[idxs] = scores
+
+        rank = np.where(
+            ver_all >= 0, ver_all * 100.0 + np.maximum(fits, 0.0), fits
+        )
+        best = (
+            rank.reshape(n_c, s_n).argmax(axis=1) + np.arange(n_c) * s_n
+        )
         out = []
         for i, m in enumerate(meta):
-            if fits[i] < self.min_fitness:
+            j = int(best[i])
+            if fits[j] < self.min_fitness or ver_all[j] < self.min_verify:
                 continue
-            info = self.det.bank.infos[m.class_id][m.template_id]
-            base = np.eye(4)
-            base[:3, :3] = info["cam_R_w2c"]
-            base[:3, 3] = np.asarray(info["cam_t_w2c"]).flatten()
-            base[2, 3] /= 1000.0  # reference quirk: z mm -> m (cpp:37)
-            result = Ts[i] @ base
-            est = PoseEstimate(
-                class_id=m.class_id,
-                template_id=m.template_id,
-                x=m.x,
-                y=m.y,
-                similarity=m.similarity,
-                R=result[:3, :3],
-                t=result[:3, 3:4] * 1000.0,
-                fitness=float(fits[i]),
+            out.append(
+                PoseEstimate(
+                    class_id=m.class_id,
+                    template_id=m.template_id,
+                    x=m.x,
+                    y=m.y,
+                    similarity=m.similarity,
+                    R=results[j, :3, :3],
+                    t=results[j, :3, 3:4] * 1000.0,
+                    fitness=float(fits[j]),
+                    verify=float(ver_all[j]),
+                )
             )
-            out.append(est)
-
-        # Batched pose verification: all survivors in one dispatch
-        # (models/refine.py::verify_poses).
-        if out:
-            import jax
-            import jax.numpy as jnp
-
-            from sixdpose_tpu.models.refine import verify_poses
-
-            by_class: Dict[str, List[int]] = {}
-            for i, e in enumerate(out):
-                by_class.setdefault(e.class_id, []).append(i)
-            with self.metrics.timer("verify"):
-                for cid, idxs in by_class.items():
-                    pts, colors = self._verify_points(cid)
-                    Rs = jnp.asarray(
-                        np.stack([out[i].R for i in idxs]).astype(np.float32)
-                    )
-                    tsv = jnp.asarray(
-                        np.stack(
-                            [out[i].t.flatten() for i in idxs]
-                        ).astype(np.float32)
-                    )
-                    scores = np.asarray(
-                        verify_poses(
-                            pts, Rs, tsv, jnp.asarray(depth),
-                            jnp.asarray(self.K.astype(np.float32)),
-                            tau_mm=self.verify_tau,
-                            model_colors=colors,
-                            rgb=jnp.asarray(rgb) if (
-                                colors is not None and rgb is not None
-                            ) else None,
-                            color_weight=self.verify_color_weight,
-                        )
-                    )
-                    for j, i in enumerate(idxs):
-                        out[i].verify = float(scores[j])
-            out = [e for e in out if e.verify >= self.min_verify]
         self.metrics.count("estimates", len(out))
         kept = nms_norms(out, self.dedupe_radius_mm, key=self.rank_key)
         self.metrics.count("published", len(kept))
         return kept
+
+    def _template_base(self, m) -> np.ndarray:
+        """Template pose as a 4x4 (z mm -> m, the reference quirk at
+        linemodLevelup.cpp:37)."""
+        info = self.det.bank.infos[m.class_id][m.template_id]
+        base = np.eye(4)
+        base[:3, :3] = info["cam_R_w2c"]
+        base[:3, 3] = np.asarray(info["cam_t_w2c"]).flatten()
+        base[2, 3] /= 1000.0
+        return base
+
+    def _match_bbox_px(self, m) -> tuple:
+        """Scene-space template bbox (w, h) px of a match, for the
+        (template, location) hypothesis dedupe."""
+        info = self.det.bank.infos[m.class_id][m.template_id]
+        scl = float(getattr(m, "scale", 1.0) or 1.0)
+        if "render_bbox" in info:
+            bx0, by0, bx1, by1 = np.asarray(info["render_bbox"])
+            return (
+                max(float(bx1 - bx0) * scl, 8.0),
+                max(float(by1 - by0) * scl, 8.0),
+            )
+        return 32.0, 32.0
 
     def _verify_points(self, class_id: str):
         """Dense surface-point sample of a model (+per-point colors when

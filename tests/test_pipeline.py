@@ -335,3 +335,36 @@ def test_inplane_seed_fan_flip():
         )
     )
     assert np.allclose(out0[1], T0, atol=1e-6)
+
+
+def test_fused_pipeline_two_instances(trained_box):
+    """Two instances of the SAME object must BOTH reach the refine pool:
+    the (template, location) dedupe keeps same-view peaks that are far
+    apart (round-4 template-only dedupe silently dropped the second
+    instance whenever both peaked on the same view)."""
+    det, model = trained_box
+    Ki, R0, t0 = template_pose(det, "box", 0)
+    t_a = t0.flatten() + np.array([-30.0, 0.0, 10.0])
+    t_b = t0.flatten() + np.array([34.0, 6.0, 10.0])
+    rgb_a, dep_a = render(model, IM, K, R0, t_a, mode="rgb+depth")
+    rgb_b, dep_b = render(model, IM, K, R0, t_b, mode="rgb+depth")
+    dep_a = np.asarray(dep_a).astype(np.uint16)
+    dep_b = np.asarray(dep_b).astype(np.uint16)
+    rgb = np.where(
+        (dep_b > 0)[..., None], np.asarray(rgb_b), np.asarray(rgb_a)
+    )
+    depth = np.where((dep_b > 0) & ((dep_a == 0) | (dep_b < dep_a)),
+                     dep_b, dep_a)
+
+    pipe = FusedPipeline(
+        det, "box", K, icp=IcpConfig(max_iters=12), max_refine=8,
+        num_points=256,
+    )
+    tid, x, y, score, R, t, fit, ver, active = map(
+        np.asarray, pipe(rgb, depth.astype(np.uint16), 60.0)
+    )
+    good = active & (fit > 0.3)
+    errs_a = np.linalg.norm(t[good] - t_a, axis=1)
+    errs_b = np.linalg.norm(t[good] - t_b, axis=1)
+    assert (errs_a < 15.0).any(), (t[good], t_a)
+    assert (errs_b < 15.0).any(), (t[good], t_b)

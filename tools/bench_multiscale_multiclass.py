@@ -35,6 +35,17 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--classes", type=int, default=15)
     ap.add_argument("--budget-gb", type=float, default=2.0)
+    ap.add_argument(
+        "--fused-budget-gb", type=float, default=None,
+        help="HBM budget for the fused program's global per-bin table "
+        "(default: --budget-gb). The 15-class table is ~12 GB; passing "
+        "~13 prebuilds it (stored as 16 per-bin buffers).",
+    )
+    ap.add_argument(
+        "--fused-topk", type=int, default=None,
+        help="per-class top_k for the one-dispatch program "
+        "(default: the detector config's top_k)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -161,32 +172,47 @@ def main() -> int:
         MultiScaleMultiClass, multiscale_multiclass_core,
     )
 
+    # Release the classic sweep's per-class tables before building the
+    # fused global one: both resident would double-count ~11 GB at 15
+    # classes.
+    del built, ms
+    import gc
+
+    gc.collect()
+    fused_budget = args.fused_budget_gb
+    if fused_budget is None:
+        fused_budget = args.budget_gb
     mc = MultiScaleMultiClass(
         det, train_depth=600.0, num_scales=5,
-        table_budget_bytes=int(args.budget_gb * (1 << 30)),
+        table_budget_bytes=int(fused_budget * (1 << 30)),
     )
     report["fused_global_table"] = mc.w_bins is not None
     report["fused_table_gb"] = round(mc.table_bytes / (1 << 30), 3)
 
-    # Per-class candidate budget for the fused program: the Pallas v4
-    # local-refine kernel prefetches ~1 KB SMEM per candidate, so
-    # C * top_k must stay under ~1024 (TODO.md "Known limits"; a v5
-    # kernel that DMAs feature tables removes the cap).
-    fused_topk = min(cfg.top_k, max(8, 1024 // len(class_ids)))
+    # Per-class candidate budget for the fused program.  The v5 Pallas
+    # local-refine kernel streams its per-candidate tables through
+    # blocked SMEM operands (O(F) SMEM), so C * top_k is unbounded —
+    # rounds 2-4 had to clamp this to ~1024 total candidates because
+    # v1-v4 scalar-prefetch the whole table into SMEM.  Full per-class
+    # top_k makes this row apples-to-apples with the classic per-class
+    # sweep above.
+    fused_topk = args.fused_topk or cfg.top_k
 
-    def fused_body(r):
+    def fused_body(r, w_bins, nf_bins):
         tid, x, y, score, keep, d, sc = multiscale_multiclass_core(
             r, dep, mc.feats, mc.valids, mc.whs, mc.pad_map, mc.cls_kb,
             mc.bin_scales, cfg, 70.0, 5, mc.kdims, fused_topk,
-            w_bins=mc.w_bins, nf_bins=mc.nf_bins,
+            w_bins=w_bins, nf_bins=nf_bins, pad_kb=mc.pad_kb,
         )
         return score[0, 0]
 
     @jax.jit
-    def fused_chain(k, r):
+    def fused_chain(k, r, w_bins, nf_bins):
+        # The ~12 GB table tuple must be an ARGUMENT (closure-captured
+        # device arrays bake into the HLO as literals).
         def body(i, carry):
             r_, acc = carry
-            a = fused_body(r_)
+            a = fused_body(r_, w_bins, nf_bins)
             dd = (jnp.abs(a) % 2.0).astype(jnp.uint8)
             return (r_ ^ dd, acc + a)
         _, acc = jax.lax.fori_loop(0, k, body, (r, jnp.float32(0)))
@@ -194,14 +220,14 @@ def main() -> int:
 
     k1f, k2f = 1, 5
     for k in (k1f, k2f):
-        _ = float(fused_chain(jnp.int32(k), rgb))
+        _ = float(fused_chain(jnp.int32(k), rgb, mc.w_bins, mc.nf_bins))
     best = None
     dtf = None
     for _ in range(5):
         t1s, t2s = [], []
         for _ in range(3):
-            t0 = time.time(); _ = float(fused_chain(jnp.int32(k1f), rgb)); t1s.append(time.time() - t0)
-            t0 = time.time(); _ = float(fused_chain(jnp.int32(k2f), rgb)); t2s.append(time.time() - t0)
+            t0 = time.time(); _ = float(fused_chain(jnp.int32(k1f), rgb, mc.w_bins, mc.nf_bins)); t1s.append(time.time() - t0)
+            t0 = time.time(); _ = float(fused_chain(jnp.int32(k2f), rgb, mc.w_bins, mc.nf_bins)); t2s.append(time.time() - t0)
         dtf = (min(t2s) - min(t1s)) / (k2f - k1f)
         if dtf > 0:
             break
