@@ -60,9 +60,14 @@ static int run_train(int argc, char** argv) {
     ifstream list(list_file);
     if (!list) { fprintf(stderr, "cannot open %s\n", list_file.c_str()); return 2; }
     string rgb_p, dep_p, mask_p;
-    int added = 0, failed = 0;
+    int added = 0, failed = 0, line_no = 0;
     double train_s = 0.0;
+    // List-line index of each successfully added template, in template-id
+    // order: addTemplate failures shift ids, so downstream pose lookups
+    // (template_id -> training view) need the explicit map.
+    vector<int> tid_lines;
     while (list >> rgb_p >> dep_p >> mask_p) {
+        int line = line_no++;
         cv::Mat rgb = cv::imread(rgb_p, cv::IMREAD_COLOR);
         cv::Mat dep = cv::imread(dep_p, cv::IMREAD_ANYDEPTH);
         cv::Mat mask = cv::imread(mask_p, cv::IMREAD_GRAYSCALE);
@@ -75,11 +80,19 @@ static int run_train(int argc, char** argv) {
         auto t0 = chrono::high_resolution_clock::now();
         int tid = detector.addTemplate(sources, class_id, mask);
         train_s += chrono::duration<double>(chrono::high_resolution_clock::now() - t0).count();
-        if (tid < 0) failed++; else added++;
+        if (tid < 0) failed++; else { added++; tid_lines.push_back(line); }
     }
     detector.writeClasses(out_pattern);
-    printf("{\"mode\":\"train\",\"class_id\":\"%s\",\"added\":%d,\"failed\":%d,"
-           "\"train_s\":%.4f}\n", class_id.c_str(), added, failed, train_s);
+    ostringstream js;
+    js << "{\"mode\":\"train\",\"class_id\":\"" << class_id
+       << "\",\"added\":" << added << ",\"failed\":" << failed
+       << ",\"train_s\":" << train_s << ",\"tid_lines\":[";
+    for (size_t i = 0; i < tid_lines.size(); ++i) {
+        if (i) js << ",";
+        js << tid_lines[i];
+    }
+    js << "]}";
+    printf("%s\n", js.str().c_str());
     return 0;
 }
 

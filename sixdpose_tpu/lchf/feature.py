@@ -57,10 +57,14 @@ class LchfConfig:
     spread_t: int = 5
     lut: str = "binary45"
     focal: float = 1150.0
-    # cxxLCHF re-implements quantization itself (lchf.cpp:59-522), so the
-    # matcher's OpenCV fastAtan2 parity does not bind LCHF features.
-    # "exact" IEEE atan2 is strictly more accurate and empirically far more
-    # stable for forest routing (see ops/quantize.py:quantize_color_gradient).
+    # INTENTIONAL DEVIATION from the reference: cxxLCHF's own gradient
+    # quantization calls cv::phase (fastAtan2) like the matcher does
+    # (lchf.cpp:210), so "cv" is the parity setting.  We default to
+    # "exact" IEEE atan2 anyway because the ~0.3 deg fastAtan2 polynomial
+    # error flips orientation bins near 11.25-deg boundaries on smooth
+    # renders and measurably destabilizes forest routing (round-3
+    # regression: LCHF recall 1.0 -> 0.0).  The deviation is recorded in
+    # PARITY.md; set phase="cv" for strict reference parity.
     phase: str = "exact"
 
 

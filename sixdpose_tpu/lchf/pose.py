@@ -56,14 +56,31 @@ def decode_bin_poses(
     """
     if len(roi_xy) == 0 or len(bins) == 0:
         return []
+    # Bin assignment MUST be bit-consistent with accumulate_votes
+    # (lchf/voting.py), which bins in float32 on device: a float64 host
+    # recompute can land boundary votes in a different bin, decoding a
+    # top bin with the wrong supporter set (or none at all, silently
+    # dropping a hypothesis).
+    scale32 = (
+        np.float32(train_radius)
+        / np.maximum(roi_depth.astype(np.float32), np.float32(1.0))
+    )
+    off_x32 = offsets[:, 0].astype(np.float32) * scale32
+    off_y32 = offsets[:, 1].astype(np.float32) * scale32
+    bx = (
+        (roi_xy[:, 0].astype(np.float32) - off_x32) / np.float32(steps)
+    ).astype(np.int64)
+    by = (
+        (roi_xy[:, 1].astype(np.float32) - off_y32) / np.float32(steps)
+    ).astype(np.int64)
+    th = (
+        rpys.astype(np.float32) / np.float32(2.0) / np.float32(3.14)
+        * np.float32(num_angle_bins)
+    ).astype(np.int64) % num_angle_bins
+    # The pose aggregation itself stays float64.
     scale = train_radius / np.maximum(roi_depth.astype(np.float64), 1.0)
     ux = roi_xy[:, 0].astype(np.float64) - offsets[:, 0] * scale
     uy = roi_xy[:, 1].astype(np.float64) - offsets[:, 1] * scale
-    bx = (ux / steps).astype(np.int64)
-    by = (uy / steps).astype(np.int64)
-    th = np.trunc(rpys / 2.0 / 3.14 * num_angle_bins).astype(
-        np.int64
-    ) % num_angle_bins
 
     Kinv = np.linalg.inv(np.asarray(K, np.float64))
     out: List[Dict[str, np.ndarray]] = []

@@ -177,13 +177,15 @@ def quantize_color_gradient(
         quantizedOrientations cpp:423 ``threshold * threshold``).
       phase: ``"cv"`` (default) uses OpenCV's fastAtan2 polynomial —
         bit-exact with the reference matcher (cv::phase, cpp:423).
-        ``"exact"`` uses IEEE atan2: strictly more accurate orientations
-        for consumers whose spec is NOT the OpenCV pipeline.  cxxLCHF
-        re-implements its own quantization (lchf.cpp:59-522), so LCHF
-        features use "exact" — the ~0.3 deg fastAtan2 error flips bins
-        near 11.25-deg boundaries on smooth renders, which measurably
+        ``"exact"`` uses IEEE atan2: strictly more accurate
+        orientations.  LCHF features default to "exact" as an
+        INTENTIONAL deviation — the reference's cxxLCHF quantization
+        also calls cv::phase (lchf.cpp:210), so "cv" is its parity
+        setting, but the ~0.3 deg fastAtan2 error flips bins near
+        11.25-deg boundaries on smooth renders, which measurably
         destabilizes forest routing (round-3 regression: LCHF recall
-        1.0 -> 0.0 from exactly this flip; see tests/test_lchf.py).
+        1.0 -> 0.0 from exactly this flip; see tests/test_lchf.py and
+        PARITY.md).
 
     Returns:
       quantized: (H, W) uint8, one-hot orientation byte (0 = no gradient).

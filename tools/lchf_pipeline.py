@@ -147,13 +147,23 @@ def pose_eval(args) -> int:
 
     cfg = LchfConfig()
     model_l = LchfModel.load(args.out)
-    K, model, _ = build_demo_assets(2, args.seed)
-    test_views, _ = sample_views(args.eval_views, radius=500.0)
+    K, model, train_views = build_demo_assets(args.views, args.seed)
+    if args.in_sample:
+        test_views = train_views[: args.eval_views]
+    else:
+        test_views, _ = sample_views(args.eval_views, radius=500.0)
+
+    leaf_modes = None
+    if args.leaf_modes:
+        from sixdpose_tpu.lchf.voting import leaf_mode_map
+
+        leaf_modes = leaf_mode_map(model_l)
 
     t0 = time.time()
     r = evaluate_pose_recall(
         model_l, model, K, (320, 240), test_views, train_radius=500.0,
         cfg=cfg, stride=args.stride, top_k=args.top_k,
+        icp_seeds=args.icp_seeds, leaf_modes=leaf_modes,
     )
     record = {
         "recall_add_s": round(r["recall"], 3),
@@ -187,6 +197,14 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--artifact", default=None,
                     help="pose_eval: write the stamped JSON record here")
+    ap.add_argument("--leaf-modes", action="store_true",
+                    help="pose_eval: vote with mean-shift leaf MODES "
+                         "(lchf/meanshift.py) instead of raw leaf samples")
+    ap.add_argument("--icp-seeds", type=int, default=5,
+                    help="pose_eval: in-plane ICP seed fan per hypothesis")
+    ap.add_argument("--in-sample", action="store_true",
+                    help="pose_eval: evaluate on the TRAINING view poses "
+                         "(default: a fresh view sampling = held out)")
     args = ap.parse_args()
     if args.mode in ("render_train", "demo"):
         rc = render_train(args)

@@ -172,7 +172,12 @@ def export_scenes(workdir: str, scenes: int, seed: int,
     gt_path = os.path.join(scene_dir, "gt.json")
     if os.path.exists(gt_path):
         with open(gt_path) as f:
-            return json.load(f)
+            cached = json.load(f)
+        if len(cached) >= scenes:
+            return cached[:scenes]
+        # Need more scenes than cached: regenerate the whole stream (the
+        # rng stream is sequential, so a longer run re-derives the same
+        # prefix scenes).
     os.makedirs(scene_dir, exist_ok=True)
     models = make_models()
     rng = np.random.default_rng(seed)
@@ -226,7 +231,8 @@ def train_reference(workdir: str, num_feats: int, t_levels: str,
     stats = {}
     for cid in make_models():
         out_file = pattern.replace("%s", cid)
-        if os.path.exists(out_file):
+        map_file = os.path.join(bank_dir, f"{cid}_tidmap.json")
+        if os.path.exists(out_file) and os.path.exists(map_file):
             stats[cid] = {"cached": True}
             continue
         cmd = [
@@ -237,8 +243,15 @@ def train_reference(workdir: str, num_feats: int, t_levels: str,
         if res.returncode != 0:
             raise RuntimeError(f"ref train {cid} failed: {res.stderr[-500:]}")
         stats[cid] = json.loads(res.stdout.strip().splitlines()[-1])
+        # Persist template_id -> list-line map (failures shift ids); the
+        # end-to-end control row needs it to recover each matched
+        # template's training pose.
+        with open(map_file, "w") as f:
+            json.dump(stats[cid].get("tid_lines", []), f)
         if verbose:
-            print("ref", stats[cid])
+            print("ref", {k: v for k, v in stats[cid].items()
+                          if k != "tid_lines"})
+        stats[cid].pop("tid_lines", None)
     return stats
 
 
@@ -267,6 +280,7 @@ def detect_reference(workdir: str, all_gts, num_feats: int, t_levels: str,
     targets = hits = 0
     per_obj = {}
     times = []
+    matches_per_scene = []
     for si, rows in enumerate(all_gts):
         repeats = 5 if si == 0 else 1
         cmd = [
@@ -294,6 +308,7 @@ def detect_reference(workdir: str, all_gts, num_feats: int, t_levels: str,
                 per_obj[row["obj_id"]][0] += 1
         if verbose and (si + 1) % 5 == 0:
             print(f"ref detect {si + 1}/{len(all_gts)}: {hits}/{targets}")
+        matches_per_scene.append(by_class)
     return {
         "loc_recall": hits / max(targets, 1),
         "targets": targets,
@@ -301,7 +316,7 @@ def detect_reference(workdir: str, all_gts, num_feats: int, t_levels: str,
         "per_object": {c: v[0] / max(v[1], 1) for c, v in per_obj.items()},
         "match_time_s": float(np.median(times)),
         "match_time_s_all": times,
-    }
+    }, matches_per_scene
 
 
 def detect_ours(workdir: str, all_gts, threshold: float, bank_cache: str,
@@ -374,6 +389,179 @@ def detect_ours(workdir: str, all_gts, threshold: float, bank_cache: str,
     }
 
 
+def control_reference_matches_our_icp(
+    workdir: str, all_gts, matches_per_scene, views: int,
+    verbose: bool = True,
+) -> dict:
+    """END-TO-END control row: the REFERENCE's own match output, refined
+    by OUR batched projective point-to-plane ICP and scored with
+    ADI@0.1d against ground truth.
+
+    The baseline build stubs the reference's Open3D poseRefine
+    (refbaseline/build_reference.sh), so the head-to-head table is
+    match-stage only; the reference's end-to-end identity is match + ICP
+    (linemodLevelup.cpp:27-170).  Feeding its matches through our
+    refiner isolates the matcher comparison at the POSE level: any
+    recall gap in this row vs our full pipeline on the same scenes is
+    attributable to the match stage, not the refiner."""
+    import jax.numpy as jnp
+
+    from sixdpose_tpu.benchmark import make_models
+    from sixdpose_tpu.data.inout import load_depth
+    from sixdpose_tpu.eval import pose_error
+    from sixdpose_tpu.eval.misc import model_diameter
+    from sixdpose_tpu.geometry.render import render
+    from sixdpose_tpu.geometry.view_sampler import sample_views
+    from sixdpose_tpu.models.refine import (
+        backproject,
+        icp_batch,
+        sample_model_points,
+        scene_normals,
+    )
+
+    models = make_models()
+    diameters = {cid: model_diameter(m["pts"]) for cid, m in models.items()}
+    vs, _ = sample_views(
+        views, radius=RADIUS,
+        elev_range=(-0.5 * np.pi, 0.5 * np.pi),
+        tilt_range=(-0.5 * np.pi, 0.5 * np.pi),
+        tilt_step=0.2 * np.pi,
+    )
+    bank_dir = os.path.join(workdir, "refbank")
+    train_dir = os.path.join(workdir, "train")
+    tid2view = {}
+    for cid in models:
+        with open(os.path.join(train_dir, f"{cid}.list")) as f:
+            lines = [ln.split()[0] for ln in f if ln.strip()]
+        # File names embed the view index (export_training_views):
+        # .../{cid}_{vi:04d}_rgb.png
+        line_vi = [
+            int(os.path.basename(p)[len(cid) + 1 : len(cid) + 5])
+            for p in lines
+        ]
+        with open(os.path.join(bank_dir, f"{cid}_tidmap.json")) as f:
+            tid_lines = json.load(f)
+        tid2view[cid] = [line_vi[l] for l in tid_lines]
+
+    npts = 512
+    cloud_cache = {}
+
+    def template_cloud(cid, tid):
+        key = (cid, tid)
+        if key not in cloud_cache:
+            vi = tid2view[cid][tid]
+            R0 = np.asarray(vs[vi]["R"], np.float64)
+            t0 = np.asarray(vs[vi]["t"], np.float64).reshape(3, 1)
+            dimg = np.asarray(
+                render(models[cid], IM_SIZE, K_BENCH, R0, t0, mode="depth")
+            ).astype(np.uint16)
+            pts_all, val_all = sample_model_points(dimg, K_BENCH, npts)
+            pts_m = np.asarray(pts_all)[np.asarray(val_all)]
+            ys, xs = np.nonzero(dimg > 0)
+            if len(pts_m) < 8 or len(ys) == 0:
+                cloud_cache[key] = None
+            else:
+                z_anchor = float(np.median(dimg[dimg > 0])) / 1000.0
+                base = np.eye(4)
+                base[:3, :3] = R0
+                base[:3, 3] = t0.flatten()
+                base[2, 3] /= 1000.0  # reference quirk (cpp:37)
+                cloud_cache[key] = (
+                    pts_m.astype(np.float32), z_anchor, base,
+                    int(xs.max() - xs.min()), int(ys.max() - ys.min()),
+                )
+        return cloud_cache[key]
+
+    scene_dir = os.path.join(workdir, "scenes")
+    targets = hits = 0
+    per_obj = {}
+    h, w = IM_SIZE[1], IM_SIZE[0]
+    for si, rows in enumerate(all_gts):
+        depth = np.asarray(
+            load_depth(os.path.join(scene_dir, f"{si:04d}_dep.png"))
+        ).astype(np.uint16)
+        by_class = matches_per_scene[si]
+        cands = []  # (row, cloud, T0, base)
+        for row in rows:
+            if row["vis_frac"] < 0.3:
+                continue
+            targets += 1
+            per_obj.setdefault(row["obj_id"], [0, 0])[1] += 1
+            ms = by_class.get(row["obj_id"], [])
+            if not ms:
+                continue
+            m = ms[0]
+            tc = template_cloud(row["obj_id"], m["template_id"])
+            if tc is None:
+                continue
+            pts_m, z_anchor, base, bw, bh = tc
+            # Seed translation exactly as the serving host path: window
+            # median depth -> centroid shift (poseRefine's init guess,
+            # linemodLevelup.cpp:60-104).
+            zs = depth[
+                np.clip(m["y"], 0, h - 1):np.clip(m["y"] + bh + 1, 1, h),
+                np.clip(m["x"], 0, w - 1):np.clip(m["x"] + bw + 1, 1, w),
+            ]
+            zs_nz = zs[zs > 0]
+            z_med = (
+                float(np.median(zs_nz)) / 1000.0 if len(zs_nz) else z_anchor
+            )
+            u = m["x"] + bw / 2.0
+            v = m["y"] + bh / 2.0
+            target = np.array([
+                (u - K_BENCH[0, 2]) / K_BENCH[0, 0] * z_med,
+                (v - K_BENCH[1, 2]) / K_BENCH[1, 1] * z_med,
+                z_med,
+            ])
+            T0 = np.eye(4, dtype=np.float32)
+            T0[:3, 3] = target - pts_m.mean(0)
+            cands.append((row, pts_m, T0, base))
+        if not cands:
+            continue
+        n_fix = 12  # static batch: recompiles only once
+        clouds = np.zeros((n_fix, npts, 3), np.float32)
+        valids = np.zeros((n_fix, npts), bool)
+        inits = np.tile(np.eye(4, dtype=np.float32), (n_fix, 1, 1))
+        for i, (_, pts_m, T0, _) in enumerate(cands[:n_fix]):
+            k = min(len(pts_m), npts)
+            clouds[i, :k] = pts_m[:k]
+            valids[i, :k] = True
+            inits[i] = T0
+        sp = backproject(
+            jnp.asarray(depth), jnp.asarray(K_BENCH.astype(np.float32))
+        )
+        sn = scene_normals(sp)
+        Ts, fits, _ = icp_batch(
+            jnp.asarray(clouds), jnp.asarray(valids), sp, sn,
+            jnp.asarray(K_BENCH.astype(np.float32)), jnp.asarray(inits),
+            0.02, 20, 4.0,
+        )
+        Ts = np.asarray(Ts, np.float64)
+        for i, (row, _, _, base) in enumerate(cands[:n_fix]):
+            result = Ts[i] @ base
+            R_e = result[:3, :3]
+            t_e = result[:3, 3:4] * 1000.0
+            cid = row["obj_id"]
+            err = pose_error.adi(
+                R_e, t_e, np.asarray(row["R"]),
+                np.asarray(row["t"]).reshape(3, 1), models[cid],
+                max_pts=1024,
+            )
+            if err < 0.1 * diameters[cid]:
+                hits += 1
+                per_obj[cid][0] += 1
+        if verbose and (si + 1) % 10 == 0:
+            print(f"control {si + 1}/{len(all_gts)}: {hits}/{targets}")
+    return {
+        "pose_recall_adi": hits / max(targets, 1),
+        "targets": targets,
+        "hits": hits,
+        "per_object": {c: v[0] / max(v[1], 1) for c, v in per_obj.items()},
+        "icp": "ours (batched projective point-to-plane GN, depth-only, "
+               "single seed, top-1 reference match per class)",
+    }
+
+
 def case1_reference() -> dict:
     """The reference binary on its own case1 golden fixture."""
     case1 = "/root/reference/linemodLevelup/test/case1"
@@ -424,8 +612,11 @@ def main() -> int:
     t0 = time.time()
     train_stats = train_reference(args.workdir, args.num_feats, args.t_levels)
     ref_train_s = time.time() - t0
-    ref = detect_reference(
+    ref, ref_matches = detect_reference(
         args.workdir, all_gts, args.num_feats, args.t_levels, args.threshold
+    )
+    control = control_reference_matches_our_icp(
+        args.workdir, all_gts, ref_matches, args.views
     )
     ours = (
         None if args.skip_ours else detect_ours(
@@ -440,6 +631,7 @@ def main() -> int:
                   "scenes (top-1 center within max(10px, 0.25*diag))",
         "reference": ref,
         "reference_train": {"wall_s": ref_train_s, "per_class": train_stats},
+        "reference_end_to_end_control": control,
         "ours": ours,
         "case1_reference_binary": case1_reference(),
         "notes": [
@@ -450,6 +642,10 @@ def main() -> int:
             "reference DepthNormal hardcodes focal 1150 "
             "(linemodLevelup.cpp:781-783); consistent train/test so "
             "matching is unaffected to first order",
+            "reference_end_to_end_control = the reference's matches fed "
+            "through OUR batched ICP and scored ADI@0.1d: the "
+            "full-pipeline comparator for our SYNTH recall on the same "
+            "scene stream (same seed)",
         ],
     }
     config = {k: v for k, v in vars(args).items() if k != "out"}
