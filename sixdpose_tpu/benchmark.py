@@ -385,6 +385,7 @@ def run_benchmark(
     seed_flip: bool = True,
     top_k: int = 32,
     verify_color_weight: float = 0.5,
+    icp: Optional[IcpConfig] = None,
 ) -> dict:
     """Train banks for all models, evaluate recall over cluttered scenes.
 
@@ -425,7 +426,7 @@ def run_benchmark(
     service = PoseEstimationService(
         det, models, K,
         threshold=threshold, max_refine=max_hyps,
-        icp=IcpConfig(max_iters=20), min_fitness=0.3,
+        icp=icp or IcpConfig(max_iters=20), min_fitness=0.3,
         prefer_fused=prefer_fused, rank_key=rank_key,
         icp_seeds=icp_seeds, verify_tau=verify_tau, seed_flip=seed_flip,
         verify_color_weight=verify_color_weight,

@@ -231,7 +231,10 @@ def detect_refine_core(
     )
     earlier = jnp.arange(k_n)[None, :] < jnp.arange(k_n)[:, None]
     dup = jnp.any(same & near & earlier, axis=1)
-    rank2 = jnp.where(dup, -jnp.inf, rank_s)
+    # Tiered budget (see detect_refine_multiclass_core): distinct views
+    # first, same-template repeat instances fill the remainder.
+    rep = jnp.any(same & earlier, axis=1)
+    rank2 = jnp.where(dup, -jnp.inf, rank_s + jnp.where(rep, 0.0, 1e4))
     order1 = jnp.argsort(-rank2)[:max_refine]
     order = order0[order1]
     tid_r = tid[order]
@@ -278,6 +281,8 @@ def detect_refine_core(
         chroma_scale=icp.chroma_scale,
         point_weight=icp.point_weight,
         lm_damping=icp.lm_damping,
+        bilinear_iters=icp.bilinear_iters,
+        coarse_points=icp.coarse_points,
     )
 
     # --- compose with the template pose ----------------------------------
@@ -505,7 +510,16 @@ def detect_refine_multiclass_core(
     k_n = same.shape[1]
     earlier = jnp.arange(k_n)[None, :] < jnp.arange(k_n)[:, None]
     dup = jnp.any(same & near & earlier[None], axis=2)       # (C, K)
-    rank2 = jnp.where(dup, -jnp.inf, rank_s)
+    # Tiered budget: every template's FIRST occurrence outranks any
+    # repeat — same-template far-away peaks (candidate second instances)
+    # fill only the budget left after all distinct views are in.
+    # Without the tier, scene-wide repeats of a loud view crowd rival
+    # views out of the pool and the near-symmetry rescue regresses
+    # (measured: wedge 0.67 -> 0.50 at max_hyps=64).
+    rep = jnp.any(same & earlier[None], axis=2)              # (C, K)
+    rank2 = jnp.where(
+        dup, -jnp.inf, rank_s + jnp.where(rep, 0.0, 1e4)
+    )
     order1 = jnp.argsort(-rank2, axis=1)[:, :max_refine]     # (C, R)
     order = jnp.take_along_axis(order0, order1, axis=1)
     take = lambda a: jnp.take_along_axis(a, order, axis=1)
@@ -563,6 +577,8 @@ def detect_refine_multiclass_core(
         chroma_scale=icp.chroma_scale,
         point_weight=icp.point_weight,
         lm_damping=icp.lm_damping,
+        bilinear_iters=icp.bilinear_iters,
+        coarse_points=icp.coarse_points,
     )
 
     result = jnp.einsum("kij,kjl->kil", Ts, rb.base_T[gid_e])

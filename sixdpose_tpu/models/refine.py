@@ -207,7 +207,10 @@ def sample_model_points(
     return pts, valid
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "bilinear_iters", "coarse_points"),
+)
 def icp_point_to_plane(
     model_pts: jnp.ndarray,
     model_valid: jnp.ndarray,
@@ -224,8 +227,8 @@ def icp_point_to_plane(
     chroma_scale: float = 0.05,
     point_weight: float = 0.2,
     lm_damping: float = 1e-3,
-    bilinear_iters: int = 4,
-    coarse_points: int = 128,
+    bilinear_iters: int = 8,
+    coarse_points: int = 256,
 ):
     """Projective point-to-plane ICP for one candidate.
 
@@ -471,7 +474,10 @@ def icp_point_to_plane(
     return T, fitness, rmse
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "bilinear_iters", "coarse_points"),
+)
 def icp_batch(
     model_pts: jnp.ndarray,      # (K, N, 3)
     model_valid: jnp.ndarray,    # (K, N)
@@ -488,6 +494,8 @@ def icp_batch(
     chroma_scale: float = 0.05,
     point_weight: float = 0.2,
     lm_damping: float = 1e-3,
+    bilinear_iters: int = 8,
+    coarse_points: int = 256,
 ):
     """All K candidates refined in parallel (reference refines top-K matches
     serially, linemod_and_levelup_test.py:354-376)."""
@@ -496,12 +504,14 @@ def icp_batch(
             mp, mv, scene_pts, scene_nrm, scene_K, t0, corr_dist, max_iters,
             coarse_gate_mult,
             point_weight=point_weight, lm_damping=lm_damping,
+            bilinear_iters=bilinear_iters, coarse_points=coarse_points,
         )
         return jax.vmap(fn)(model_pts, model_valid, init_T)
     fn = lambda mp, mv, t0, mc: icp_point_to_plane(
         mp, mv, scene_pts, scene_nrm, scene_K, t0, corr_dist, max_iters,
         coarse_gate_mult, mc, chroma_maps, color_weight, chroma_scale,
         point_weight=point_weight, lm_damping=lm_damping,
+        bilinear_iters=bilinear_iters, coarse_points=coarse_points,
     )
     return jax.vmap(fn, in_axes=(0, 0, 0, 0))(
         model_pts, model_valid, init_T, model_chroma

@@ -375,11 +375,22 @@ class PoseEstimationService:
         # the same place is one hypothesis, but distinct templates at one
         # peak (rival views) AND one template at distant peaks (repeat
         # instances) both stay.
+        # Tiered budget (parity with the fused cores): pass 1 admits each
+        # template's FIRST occurrence (rival views — the near-symmetry
+        # rescue), pass 2 fills leftover budget with same-template peaks
+        # at DISTANT locations (repeat instances).
         per_class_kept: Dict[str, list] = {}
-        kept_matches = []
+        seen_tid: Dict[str, set] = {}
         for m in matches:
             ks = per_class_kept.setdefault(m.class_id, [])
-            if len(ks) >= self.max_refine:
+            st = seen_tid.setdefault(m.class_id, set())
+            if len(ks) >= self.max_refine or m.template_id in st:
+                continue
+            ks.append(m)
+            st.add(m.template_id)
+        for m in matches:
+            ks = per_class_kept[m.class_id]
+            if len(ks) >= self.max_refine or m in ks:
                 continue
             bw_m, bh_m = self._match_bbox_px(m)
             dup = any(
@@ -389,8 +400,9 @@ class PoseEstimationService:
                 for k in ks
             )
             if not dup:
-                kept_matches.append(m)
                 ks.append(m)
+        kept_matches = [m for ks in per_class_kept.values() for m in ks]
+        kept_matches.sort(key=lambda m: -m.similarity)
         matches = kept_matches
         if not matches:
             return []
@@ -553,6 +565,8 @@ class PoseEstimationService:
                 chroma_scale=self.icp.chroma_scale,
                 point_weight=self.icp.point_weight,
                 lm_damping=self.icp.lm_damping,
+                bilinear_iters=self.icp.bilinear_iters,
+                coarse_points=self.icp.coarse_points,
             )
             Ts = np.asarray(Ts, np.float64)
             fits = np.asarray(fits)
