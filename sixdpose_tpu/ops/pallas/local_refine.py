@@ -716,36 +716,49 @@ def similarity_local_sparse_pallas_v5(
     by_blk = jnp.pad(by_blk, pad)
     bx_p = jnp.pad(bx, pad)
 
-    scores = pl.pallas_call(
-        functools.partial(_refine_kernel_v5, window),
-        out_shape=jax.ShapeDtypeStruct((k, window, window), jnp.float32),
-        grid=(k,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, 1), lambda kk: (kk, 0, 0), memory_space=pltpu.SMEM
+    # sequential_vmap: an outer jax.vmap (e.g. batched-frame detection)
+    # cannot batch the HBM-resident maps operand of a pallas_call; the
+    # custom batching rule lowers vmap to a sequential lax.map over the
+    # batch instead (one kernel launch per frame — the kernel is the
+    # per-frame hot loop anyway).
+    @jax.custom_batching.sequential_vmap
+    def call(nf3, cidx3, blk3, bx3, maps):
+        return pl.pallas_call(
+            functools.partial(_refine_kernel_v5, window),
+            out_shape=jax.ShapeDtypeStruct((k, window, window), jnp.float32),
+            grid=(k,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, 1), lambda kk: (kk, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, f_pad), lambda kk: (kk, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, f_pad), lambda kk: (kk, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, f_pad), lambda kk: (kk, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, window, window), lambda kk: (kk, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, f_pad), lambda kk: (kk, 0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, f_pad), lambda kk: (kk, 0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, f_pad), lambda kk: (kk, 0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, window, window), lambda kk: (kk, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((_BUFS, window, _GRP * 128), jnp.bfloat16),
-            pltpu.VMEM((window, _GRP * 128), jnp.bfloat16),
-            pltpu.VMEM((window, window), jnp.float32),
-            pltpu.SemaphoreType.DMA((_BUFS, _GRP)),
-        ],
-    )(
+            scratch_shapes=[
+                pltpu.VMEM((_BUFS, window, _GRP * 128), jnp.bfloat16),
+                pltpu.VMEM((window, _GRP * 128), jnp.bfloat16),
+                pltpu.VMEM((window, window), jnp.float32),
+                pltpu.SemaphoreType.DMA((_BUFS, _GRP)),
+            ],
+        )(nf3, cidx3, blk3, bx3, maps)
+
+    scores = call(
         nf_trip[:, None, None],
         cidx[:, None, :],
         by_blk[:, None, :],

@@ -729,13 +729,20 @@ def similarity_local_sparse_auto(
         # (1.22 MB total at 416x136-feat chunks = 0.68 MB of tables +
         # fixed overhead), with margin -> 0.4 MB of tables.
         n = feats_sel.shape[0]
+        per_cand = max(int(feats_sel.shape[1]) * 12, 64)
+        budget = int(0.4 * (1 << 20))
+        if not forced and fn is LR.similarity_local_sparse_pallas_v5:
+            # Small pools keep v4: its scalar-prefetch grid batches
+            # NATIVELY under an outer vmap (batched-frame detection),
+            # while v5's HBM operand forces a sequential per-frame map.
+            # v5 takes over exactly where v4 stops compiling.
+            if n * per_cand <= budget:
+                fn = LR.similarity_local_sparse_pallas_v4
         if fn is LR.similarity_local_sparse_pallas_v5:
             return fn(
                 response_maps, feats_sel, valid_sel, origins, t, window,
                 scale, active,
             )
-        per_cand = max(int(feats_sel.shape[1]) * 12, 64)
-        budget = int(0.4 * (1 << 20))
         block = budget // per_cand
         block = min(512, (block // 8) * 8)
         if block < 8:
