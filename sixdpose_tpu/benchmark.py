@@ -385,6 +385,7 @@ def run_benchmark(
     seed_flip: bool = True,
     top_k: int = 32,
     verify_color_weight: float = 0.5,
+    verify_color_zscore: bool = False,
     icp: Optional[IcpConfig] = None,
 ) -> dict:
     """Train banks for all models, evaluate recall over cluttered scenes.
@@ -430,6 +431,7 @@ def run_benchmark(
         prefer_fused=prefer_fused, rank_key=rank_key,
         icp_seeds=icp_seeds, verify_tau=verify_tau, seed_flip=seed_flip,
         verify_color_weight=verify_color_weight,
+        verify_color_zscore=verify_color_zscore,
     )
 
     targets = 0
@@ -550,6 +552,7 @@ def fused_device_ms_per_frame(service, rgb, depth) -> Optional[float]:
                 pipe.verify_colors, pipe.verify_tau,
                 pipe.verify_color_weight, pipe.icp_seeds,
                 pipe.seed_step_deg, pipe.seed_flip,
+                pipe.verify_color_zscore,
             )
             a = out[3][0, 0] + out[7][0, 0]
             dd = (jnp.abs(a) % 2.0).astype(jnp.uint8)

@@ -194,6 +194,7 @@ def detect_refine_core(
     icp_seeds: int = 1,
     seed_step_deg: float = 18.0,
     seed_flip: bool = False,
+    verify_color_zscore: bool = False,
 ):
     """Traceable fused frame: match + batched ICP + verify, no host trips.
 
@@ -302,6 +303,7 @@ def detect_refine_core(
             model_colors=verify_colors,
             rgb=rgb if verify_colors is not None else None,
             color_weight=verify_color_weight,
+            color_zscore=verify_color_zscore,
         )
     else:
         vscore = jnp.full((max_refine * s_n,), -1.0, jnp.float32)
@@ -334,6 +336,7 @@ def detect_refine_core(
     static_argnames=(
         "cfg", "icp", "max_refine", "rb_win", "verify_tau",
         "verify_color_weight", "icp_seeds", "seed_step_deg", "seed_flip",
+        "verify_color_zscore",
     ),
 )
 def _detect_refine_jit(
@@ -358,12 +361,14 @@ def _detect_refine_jit(
     icp_seeds=1,
     seed_step_deg=18.0,
     seed_flip=False,
+    verify_color_zscore=False,
 ):
     rb = RefineBank(*rb_arrays, win=rb_win)
     return detect_refine_core(
         rgb, depth, kernels, nfeats, whs, cfg, threshold, feats, valids,
         rb, icp, K, max_refine, verify_pts, verify_colors, verify_tau,
         verify_color_weight, icp_seeds, seed_step_deg, seed_flip,
+        verify_color_zscore,
     )
 
 
@@ -453,6 +458,7 @@ def detect_refine_multiclass_core(
     icp_seeds: int = 1,
     seed_step_deg: float = 18.0,
     seed_flip: bool = False,
+    verify_color_zscore: bool = False,
 ):
     """Traceable fused multi-class frame: ONE program scores every class,
     refines the top ``max_refine`` hypotheses of EVERY class with batched
@@ -600,6 +606,7 @@ def detect_refine_multiclass_core(
         ),
         rgb=rgb if verify_colors is not None else None,
         color_weight=verify_color_weight,
+        color_zscore=verify_color_zscore,
     )
 
     # Mask BOTH rankable outputs for inactive (padded/below-threshold)
@@ -636,6 +643,7 @@ def detect_refine_multiclass_core(
     static_argnames=(
         "cfg", "icp", "max_refine", "nmax", "rb_win", "verify_tau",
         "verify_color_weight", "icp_seeds", "seed_step_deg", "seed_flip",
+        "verify_color_zscore",
     ),
 )
 def _detect_refine_multiclass_jit(
@@ -663,13 +671,14 @@ def _detect_refine_multiclass_jit(
     icp_seeds,
     seed_step_deg,
     seed_flip=False,
+    verify_color_zscore=False,
 ):
     rb = RefineBank(*rb_arrays, win=rb_win)
     return detect_refine_multiclass_core(
         rgb, depth, kernels, nfeats, whs, feats, valids, pad_map, cfg,
         threshold, nmax, rb, icp, K, max_refine, verify_pts, verify_valid,
         verify_colors, verify_tau, verify_color_weight, icp_seeds,
-        seed_step_deg, seed_flip,
+        seed_step_deg, seed_flip, verify_color_zscore,
     )
 
 
@@ -697,6 +706,7 @@ class FusedMultiClassPipeline:
         icp_seeds: int = 1,
         seed_step_deg: float = 18.0,
         seed_flip: bool = False,
+        verify_color_zscore: bool = False,
     ):
         from sixdpose_tpu.models.multiclass import MultiClassMatcher
 
@@ -758,6 +768,7 @@ class FusedMultiClassPipeline:
         self.verify_colors = jnp.asarray(vc) if has_colors else None
         self.verify_tau = float(verify_tau)
         self.verify_color_weight = float(verify_color_weight)
+        self.verify_color_zscore = bool(verify_color_zscore)
 
     def __call__(self, rgb, depth, threshold: float):
         """Returns (C, R) device arrays (tid_local, x, y, score, R, t_mm,
@@ -792,6 +803,7 @@ class FusedMultiClassPipeline:
             self.icp_seeds,
             self.seed_step_deg,
             self.seed_flip,
+            self.verify_color_zscore,
         )
 
 
@@ -813,6 +825,7 @@ class FusedPipeline:
         icp_seeds: int = 1,
         seed_step_deg: float = 18.0,
         seed_flip: bool = False,
+        verify_color_zscore: bool = False,
     ):
         self.det = detector
         self.class_id = class_id
@@ -840,6 +853,7 @@ class FusedPipeline:
         )
         self.verify_tau = float(verify_tau)
         self.verify_color_weight = float(verify_color_weight)
+        self.verify_color_zscore = bool(verify_color_zscore)
 
     def __call__(self, rgb, depth, threshold: float):
         """Returns device arrays (tid, x, y, score, R, t_mm, fitness,
@@ -872,4 +886,5 @@ class FusedPipeline:
             self.icp_seeds,
             self.seed_step_deg,
             self.seed_flip,
+            self.verify_color_zscore,
         )

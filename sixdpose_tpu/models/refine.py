@@ -519,7 +519,10 @@ def icp_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau_mm", "cell", "color_tau", "color_weight")
+    jax.jit,
+    static_argnames=(
+        "tau_mm", "cell", "color_tau", "color_weight", "color_zscore"
+    ),
 )
 def verify_poses(
     model_pts_mm: jnp.ndarray,   # (N, 3) surface points, model frame, mm
@@ -533,6 +536,7 @@ def verify_poses(
     rgb: Optional[jnp.ndarray] = None,           # (H, W, 3) uint8
     color_tau: float = 0.22,
     color_weight: float = 0.5,
+    color_zscore: bool = False,
 ):
     """Depth(+color)-consistency verification of K poses in one dispatch.
 
@@ -565,11 +569,15 @@ def verify_poses(
     return verify_poses_multi(
         pts_b, valid_b, Rs, ts_mm, depth_mm, K, tau_mm, cell,
         colors_b, rgb, color_tau, color_weight,
+        color_zscore=color_zscore,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau_mm", "cell", "color_tau", "color_weight")
+    jax.jit,
+    static_argnames=(
+        "tau_mm", "cell", "color_tau", "color_weight", "color_zscore"
+    ),
 )
 def verify_poses_multi(
     model_pts_mm: jnp.ndarray,   # (K, N, 3) PER-CANDIDATE surface points, mm
@@ -584,10 +592,22 @@ def verify_poses_multi(
     rgb: Optional[jnp.ndarray] = None,           # (H, W, 3) uint8
     color_tau: float = 0.22,
     color_weight: float = 0.5,
+    color_zscore: bool = False,
 ):
     """verify_poses generalized to a DIFFERENT point set per candidate
     (padded + masked), so candidates of different classes verify together
     in one dispatch (the fused multi-class pipeline, models/pipeline.py).
+
+    ``color_zscore``: per-pixel chroma informativeness weighting.  Each
+    point's color vote is weighted by the z-score of the MODEL's chroma
+    at that point against the model's own chroma distribution
+    (w = 0.25 + clip(|mcn - mean| / std, 0, 4)).  Texture pixels — the
+    only evidence separating geometric twins (box vs texbox, or a
+    textured box vs its own 180-deg z-flip) — dominate the fraction,
+    while uniform-color pixels, which match ANY uniform hypothesis, stop
+    diluting the margin.  For a textureless model every deviation is ~0,
+    the weights collapse to the constant floor, and the fraction reduces
+    to the unweighted one, so the flag is safe to enable globally.
 
     Returns (K,) float32 scores in [0, 1].
     """
@@ -658,7 +678,21 @@ def verify_poses_multi(
             cdist = jnp.sum(jnp.abs(scn - mcn), axis=-1)
             considered = agree & (bright > 40.0)
             c_ok = considered & (cdist < color_tau)
-            cfrac = jnp.sum(c_ok) / jnp.maximum(jnp.sum(considered), 1)
+            if color_zscore:
+                nm = jnp.maximum(jnp.sum(pvalid), 1)
+                mu = jnp.sum(
+                    jnp.where(pvalid[:, None], mcn, 0.0), axis=0
+                ) / nm
+                dev = jnp.sum(jnp.abs(mcn - mu), axis=-1)
+                sd = jnp.sqrt(
+                    jnp.sum(jnp.where(pvalid, dev * dev, 0.0)) / nm
+                )
+                wgt = 0.25 + jnp.clip(dev / (sd + 1e-6), 0.0, 4.0)
+                cfrac = jnp.sum(wgt * c_ok) / jnp.maximum(
+                    jnp.sum(wgt * considered), 1e-6
+                )
+            else:
+                cfrac = jnp.sum(c_ok) / jnp.maximum(jnp.sum(considered), 1)
             score = score * (1.0 - color_weight + color_weight * cfrac)
         return score
 

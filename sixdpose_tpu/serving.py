@@ -114,6 +114,7 @@ class PoseEstimationService:
         min_verify: float = 0.0,
         verify_tau: float = 15.0,
         verify_color_weight: float = 0.5,
+        verify_color_zscore: bool = False,
         rank_key: str = "verify",
         prefer_fused: bool = True,
         icp_seeds: int = 1,
@@ -136,6 +137,10 @@ class PoseEstimationService:
         self.min_verify = min_verify
         self.verify_tau = verify_tau
         self.verify_color_weight = verify_color_weight
+        # Per-pixel chroma informativeness weighting in verification
+        # (models/refine.py verify_poses_multi docstring): texture pixels
+        # dominate the color fraction, separating geometric twins.
+        self.verify_color_zscore = bool(verify_color_zscore)
         self.rank_key = rank_key
         # In-plane ICP seed fan per hypothesis (multi-class fused path);
         # 1 = single seed (the template pose as-is).  seed_flip replaces
@@ -215,6 +220,7 @@ class PoseEstimationService:
                     verify_colors=vc,
                     verify_tau=self.verify_tau,
                     verify_color_weight=self.verify_color_weight,
+                    verify_color_zscore=self.verify_color_zscore,
                     icp_seeds=self.icp_seeds,
                     seed_flip=self.seed_flip,
                 )
@@ -246,6 +252,7 @@ class PoseEstimationService:
                     verify_colors=vcs,
                     verify_tau=self.verify_tau,
                     verify_color_weight=self.verify_color_weight,
+                    verify_color_zscore=self.verify_color_zscore,
                     icp_seeds=self.icp_seeds,
                     seed_flip=self.seed_flip,
                 )
@@ -607,6 +614,7 @@ class PoseEstimationService:
                             vcolors is not None and rgb is not None
                         ) else None,
                         color_weight=self.verify_color_weight,
+                        color_zscore=self.verify_color_zscore,
                     )
                 )
                 ver_all[idxs] = scores

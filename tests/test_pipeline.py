@@ -283,6 +283,65 @@ def test_verify_poses_multi_matches_single(trained_box):
     assert s1[0] > 0.4 and s1[1] < 0.1, s1
 
 
+def test_verify_color_zscore_separates_texture_twin():
+    """Per-pixel chroma informativeness weighting (color_zscore=True)
+    widens the verify margin between a pose with CORRECT texture and its
+    geometric twin with WRONG texture: depth is identical for both, the
+    texture strip is only 25% of the surface, so the unweighted color
+    fraction moves little, while the z-score weights make the texture
+    pixels dominate.  For a uniform-color model the weights collapse to
+    the constant floor and the score must equal the unweighted one."""
+    import jax.numpy as jnp
+
+    from sixdpose_tpu.models.refine import verify_poses
+
+    Kc = np.array([[200.0, 0, 80.0], [0, 200.0, 60.0], [0, 0, 1]],
+                  np.float32)
+    # Flat 40x40 mm plate of points facing the camera at z=300.
+    xs, ys = np.meshgrid(np.arange(-20.0, 20.0), np.arange(-20.0, 20.0))
+    pts = np.stack([xs.ravel(), ys.ravel(), np.zeros(xs.size)], 1)
+    pts = pts.astype(np.float32)
+    t = np.array([0.0, 0.0, 300.0], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    u = np.round(pts[:, 0] / 300.0 * 200.0 + 80.0).astype(int)
+    v = np.round(pts[:, 1] / 300.0 * 200.0 + 60.0).astype(int)
+    depth = np.zeros((120, 160), np.uint16)
+    depth[v, u] = 300
+    # Scene color: a red texture strip over x > 10 mm, gray elsewhere.
+    tex = pts[:, 0] > 10.0  # 25% of the points
+    rgb = np.full((120, 160, 3), (120, 120, 120), np.uint8)
+    rgb[v[tex], u[tex]] = (200, 40, 40)
+    col_right = np.where(tex[:, None], (200, 40, 40), (120, 120, 120))
+    col_wrong = np.where(tex[:, None], (40, 40, 200), (120, 120, 120))
+    Rs = jnp.asarray(np.stack([R, R]))
+    ts = jnp.asarray(np.stack([t, t]))
+
+    def score(colors, zscore):
+        return np.asarray(
+            verify_poses(
+                jnp.asarray(pts), Rs, ts, jnp.asarray(depth),
+                jnp.asarray(Kc), tau_mm=6.0,
+                model_colors=jnp.asarray(colors.astype(np.float32)),
+                rgb=jnp.asarray(rgb), color_zscore=zscore,
+            )
+        )
+
+    # Two hypotheses share geometry; only the model texture differs.
+    plain_r = score(col_right, False)[0]
+    plain_w = score(col_wrong, False)[0]
+    z_r = score(col_right, True)[0]
+    z_w = score(col_wrong, True)[0]
+    margin_plain = plain_r - plain_w
+    margin_z = z_r - z_w
+    assert margin_plain > 0.0
+    assert margin_z > 1.5 * margin_plain, (margin_plain, margin_z)
+    # Uniform-color model: z-scoring must reduce to the unweighted score.
+    col_uni = np.full_like(col_right, 120)
+    np.testing.assert_allclose(
+        score(col_uni, True), score(col_uni, False), atol=1e-6
+    )
+
+
 def test_fused_pipeline_empty_scene(trained_box):
     det, _ = trained_box
     pipe = FusedPipeline(

@@ -50,8 +50,19 @@ def main() -> int:
                          "does not invalidate the bank cache)")
     ap.add_argument("--rank-key", default="verify",
                     choices=["verify", "fitness", "similarity"])
+    ap.add_argument("--color-zscore", action="store_true",
+                    help="per-pixel chroma informativeness weighting in "
+                         "verification (texture pixels dominate the color "
+                         "fraction; separates geometric twins like "
+                         "box/texbox — models/refine.py verify_poses_multi)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the tunnel sitecustomize "
+                         "overrides JAX_PLATFORMS)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from sixdpose_tpu.benchmark import run_benchmark
     from sixdpose_tpu.utils.artifacts import provenance, write_artifact
@@ -71,6 +82,7 @@ def main() -> int:
         icp_seeds=args.icp_seeds,
         verify_tau=args.verify_tau,
         top_k=args.top_k,
+        verify_color_zscore=args.color_zscore,
     )
     config = {k: v for k, v in vars(args).items() if k != "out"}
     if args.out:

@@ -205,7 +205,16 @@ def main() -> int:
     ap.add_argument("--in-sample", action="store_true",
                     help="pose_eval: evaluate on the TRAINING view poses "
                          "(default: a fresh view sampling = held out)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the TPU-tunnel "
+                         "sitecustomize overrides JAX_PLATFORMS, so an env "
+                         "var alone cannot; forest training is "
+                         "compile-bound on the remote-compile tunnel and "
+                         "~4x faster on host CPU)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.mode in ("render_train", "demo"):
         rc = render_train(args)
         if rc:
